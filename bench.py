@@ -1,0 +1,286 @@
+"""Benchmark harness: GAN train-step throughput on the reference's headline
+config (batch 8, 64³ patches, pc-bSSFP 24ch → DT 6ch, full-size networks).
+
+Prints ONE JSON line:
+  {"metric": "train_volumes_per_sec_per_chip", "value": N,
+   "unit": "volumes/sec/chip", "vs_baseline": N}
+
+- value: training throughput in *volumes*/sec/chip (patches/sec divided by
+  the reference's 8 samples-per-volume, ``src/data_module.py:17``), measured
+  on the attached chip with the same step semantics as the reference
+  (generator + discriminator update per batch).
+- vs_baseline: speedup over PyTorch-CPU running the architecture-equivalent
+  torch model (BASELINE.json north star: >=10x). The torch baseline is
+  measured once and cached in ``bench_baseline.json`` (re-measure with
+  ``--remeasure-baseline``).
+
+Extra diagnostics (inference latency etc.) go to stderr; stdout carries only
+the JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+
+BATCH = 8
+PATCH = 64
+IN_CH = 24
+OUT_CH = 6
+SAMPLES_PER_VOL = 8
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# JAX side
+# ---------------------------------------------------------------------------
+
+def measure_jax_train(steps: int = 20, warmup: int = 3) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unet_bssfp_tpu.config import ModelConfig, TrainConfig
+    from unet_bssfp_tpu.train.state import build_models, create_gan_state
+    from unet_bssfp_tpu.train.steps import make_predict_fn, make_train_step
+
+    mcfg = ModelConfig()  # full-size, bfloat16 compute
+    tcfg = TrainConfig()
+    gen, disc = build_models("pc-bssfp", mcfg)
+    state = create_gan_state(
+        jax.random.PRNGKey(0), "pc-bssfp", mcfg, tcfg, patch_size=PATCH
+    )
+    step = make_train_step(gen, disc, tcfg, donate=False)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(
+        rng.random((BATCH, PATCH, PATCH, PATCH, IN_CH)).astype(np.float32)
+    )
+    y = jnp.asarray(
+        rng.random((BATCH, PATCH, PATCH, PATCH, OUT_CH)).astype(np.float32)
+    )
+
+    log(f"jax devices: {jax.devices()}")
+    t0 = time.perf_counter()
+    s = state
+    s, m = step(s, x, y)
+    jax.block_until_ready(m)
+    log(f"train step compile+first: {time.perf_counter() - t0:.1f}s")
+
+    for _ in range(warmup - 1):
+        s, m = step(s, x, y)
+    jax.block_until_ready(m)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        s, m = step(s, x, y)
+    jax.block_until_ready(m)
+    elapsed = time.perf_counter() - t0
+    patches_per_sec = BATCH * steps / elapsed
+    log(f"jax train: {elapsed/steps*1e3:.1f} ms/step, "
+        f"{patches_per_sec:.2f} patches/s")
+
+    # Single-volume inference latency (whole-volume fast path, 96x128x128).
+    predict = make_predict_fn(gen)
+    vol = jnp.asarray(
+        rng.random((1, 96, 128, 128, IN_CH)).astype(np.float32)
+    )
+    out = predict(s, vol)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    n_inf = 5
+    for _ in range(n_inf):
+        out = predict(s, vol)
+    jax.block_until_ready(out)
+    inf_latency = (time.perf_counter() - t0) / n_inf
+    log(f"single-volume inference latency: {inf_latency*1e3:.1f} ms")
+
+    return {
+        "patches_per_sec": patches_per_sec,
+        "volumes_per_sec": patches_per_sec / SAMPLES_PER_VOL,
+        "ms_per_step": elapsed / steps * 1e3,
+        "inference_latency_s": inf_latency,
+    }
+
+
+# ---------------------------------------------------------------------------
+# torch-CPU baseline (architecture-equivalent reference model)
+# ---------------------------------------------------------------------------
+
+def measure_torch_baseline(steps: int = 2) -> dict:
+    """PyTorch-CPU GAN train step with the reference architecture: MONAI-style
+    BasicUNet generator + PatchGAN discriminator, fp32, AdamW x2, generator
+    run twice per step (reference src/model.py:259-281 semantics)."""
+    import numpy as np
+    import torch
+
+    torch.set_num_threads(os.cpu_count() or 8)
+
+    class ConvNormAct(torch.nn.Module):
+        def __init__(self, cin, cout, dropout=0.05):
+            super().__init__()
+            self.block = torch.nn.Sequential(
+                torch.nn.Conv3d(cin, cout, 3, padding=1),
+                torch.nn.InstanceNorm3d(cout, affine=True),
+                torch.nn.Dropout(dropout),
+                torch.nn.LeakyReLU(0.1),
+            )
+
+        def forward(self, x):
+            return self.block(x)
+
+    class TwoConv(torch.nn.Sequential):
+        def __init__(self, cin, cout):
+            super().__init__(ConvNormAct(cin, cout), ConvNormAct(cout, cout))
+
+    class UNet(torch.nn.Module):
+        def __init__(self, fea=(32, 64, 128, 256, 512, 32)):
+            super().__init__()
+            self.head = torch.nn.Sequential(
+                torch.nn.Conv3d(IN_CH, 24, 1),
+                torch.nn.BatchNorm3d(24),
+                torch.nn.LeakyReLU(0.2),
+            )
+            self.conv0 = TwoConv(24, fea[0])
+            self.pool = torch.nn.MaxPool3d(2)
+            self.down = torch.nn.ModuleList(
+                [TwoConv(fea[i], fea[i + 1]) for i in range(4)]
+            )
+            self.up = torch.nn.ModuleList(
+                [
+                    torch.nn.ConvTranspose3d(fea[4], fea[4] // 2, 2, 2),
+                    torch.nn.ConvTranspose3d(fea[3], fea[3] // 2, 2, 2),
+                    torch.nn.ConvTranspose3d(fea[2], fea[2] // 2, 2, 2),
+                    torch.nn.ConvTranspose3d(fea[1], fea[1], 2, 2),
+                ]
+            )
+            self.upconv = torch.nn.ModuleList(
+                [
+                    TwoConv(fea[3] + fea[4] // 2, fea[3]),
+                    TwoConv(fea[2] + fea[3] // 2, fea[2]),
+                    TwoConv(fea[1] + fea[2] // 2, fea[1]),
+                    TwoConv(fea[0] + fea[1], fea[5]),
+                ]
+            )
+            self.final = torch.nn.Conv3d(fea[5], OUT_CH, 1)
+
+        def forward(self, x):
+            x = self.head(x)
+            skips = [self.conv0(x)]
+            h = skips[0]
+            for d in self.down:
+                h = d(self.pool(h))
+                skips.append(h)
+            for i, (u, c) in enumerate(zip(self.up, self.upconv)):
+                h = u(h)
+                h = c(torch.cat([skips[3 - i], h], dim=1))
+            return self.final(h)
+
+    class Disc(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            chans = [IN_CH + OUT_CH, 32, 64, 128, 256, 512]
+            layers = []
+            for i in range(5):
+                layers.append(
+                    torch.nn.Conv3d(chans[i], chans[i + 1], 4, 2, 1)
+                )
+                if i > 0:
+                    layers.append(torch.nn.BatchNorm3d(chans[i + 1]))
+                layers.append(torch.nn.LeakyReLU(0.2))
+            layers.append(torch.nn.Conv3d(512, 1, 1))
+            self.net = torch.nn.Sequential(*layers)
+
+        def forward(self, x, y):
+            return self.net(torch.cat([x, y], dim=1))
+
+    gen = UNet()
+    disc = Disc()
+    opt_g = torch.optim.AdamW(gen.parameters(), lr=1e-3)
+    opt_d = torch.optim.AdamW(disc.parameters(), lr=1e-3)
+    bce = torch.nn.BCEWithLogitsLoss()
+    l1 = torch.nn.L1Loss()
+
+    rng = np.random.default_rng(0)
+    x = torch.from_numpy(
+        rng.random((BATCH, IN_CH, PATCH, PATCH, PATCH)).astype(np.float32)
+    )
+    y = torch.from_numpy(
+        rng.random((BATCH, OUT_CH, PATCH, PATCH, PATCH)).astype(np.float32)
+    )
+
+    def one_step():
+        y_hat = gen(x)
+        logits = disc(x, y_hat)
+        loss_g = bce(logits, torch.ones_like(logits)) + 1e2 * l1(y_hat, y)
+        opt_g.zero_grad()
+        loss_g.backward()
+        opt_g.step()
+        y_hat2 = gen(x).detach()
+        lh = disc(x, y_hat2)
+        lr_ = disc(x, y)
+        loss_d = (bce(lh, torch.zeros_like(lh)) + bce(lr_, torch.ones_like(lr_))) / 2
+        opt_d.zero_grad()
+        loss_d.backward()
+        opt_d.step()
+
+    one_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        one_step()
+    elapsed = time.perf_counter() - t0
+    patches_per_sec = BATCH * steps / elapsed
+    log(f"torch-cpu train: {elapsed/steps:.1f} s/step, "
+        f"{patches_per_sec:.3f} patches/s")
+    return {
+        "patches_per_sec": patches_per_sec,
+        "volumes_per_sec": patches_per_sec / SAMPLES_PER_VOL,
+    }
+
+
+def get_baseline(remeasure: bool = False) -> dict:
+    if not remeasure and os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)
+    result = measure_torch_baseline()
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--remeasure-baseline", action="store_true")
+    parser.add_argument("--skip-baseline", action="store_true")
+    args = parser.parse_args()
+
+    jax_result = measure_jax_train(steps=args.steps)
+    if args.skip_baseline:
+        baseline = {"volumes_per_sec": float("nan")}
+    else:
+        baseline = get_baseline(args.remeasure_baseline)
+
+    vs = jax_result["volumes_per_sec"] / baseline["volumes_per_sec"]
+    print(
+        json.dumps(
+            {
+                "metric": "train_volumes_per_sec_per_chip",
+                "value": round(jax_result["volumes_per_sec"], 3),
+                "unit": "volumes/sec/chip",
+                "vs_baseline": round(vs, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,145 @@
+"""End-to-end eval stack: grid-stitched inference, prediction files, scalar
+maps, diff maps, ROI error table, plots (the minimum end-to-end slice of
+SURVEY.md §7)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_bssfp_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from unet_bssfp_tpu.data.datamodule import DoveDataModule
+from unet_bssfp_tpu.data.synthetic import make_synthetic_bids
+from unet_bssfp_tpu.eval.evaluate import (
+    calc_diff_maps,
+    calc_error_table,
+    calc_scalar_maps,
+    eval_dwi_tensors,
+    parse_pred_name,
+)
+from unet_bssfp_tpu.eval.inference import predict_volume, run_test, save_predictions
+
+VOL = (16, 16, 16)
+
+
+@pytest.fixture(scope="module")
+def bids_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bids_eval")
+    return make_synthetic_bids(str(root), subjects=("01", "02"),
+                               sessions=("1",), volume_shape=VOL)
+
+
+@pytest.fixture(scope="module")
+def dm(bids_root):
+    dm = DoveDataModule(
+        bids_root,
+        batch_size=2,
+        samples_per_vol=2,
+        patch_size=8,
+        volume_shape=VOL,
+        num_workers=2,
+        test_split=0.5,
+        val_split=0.0,
+    )
+    dm.prepare_data()
+    assert dm.test_samples
+    return dm
+
+
+def _identity_predict(state, x):
+    # Fake 6-channel "generator": mean-pool input channels to 6.
+    return x[..., :6]
+
+
+def test_parse_pred_name():
+    ents = parse_pred_name("pred-3_mod-pc-bssfp_sub-01_ses-2_fa.nii.gz")
+    assert ents == {"kind": "pred", "idx": "3", "mod": "pc-bssfp",
+                    "sub": "01", "ses": "2", "deriv": "fa"}
+    ents = parse_pred_name("target-0_mod-dwi-tensor_sub-01_ses-1.nii.gz")
+    assert ents["deriv"] == ""
+    assert parse_pred_name("garbage.nii.gz") is None
+
+
+def test_predict_volume_patch_vs_whole(rng):
+    vol = jnp.asarray(rng.random(VOL + (24,)).astype(np.float32))
+    stitched = predict_volume(
+        _identity_predict, None, vol, patch_size=8, out_channels=6,
+        batch_size=4,
+    )
+    whole = predict_volume(
+        _identity_predict, None, vol, whole_volume=True
+    )
+    # Identity "model" → both paths reproduce the input channels exactly.
+    np.testing.assert_allclose(np.asarray(stitched), np.asarray(vol[..., :6]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(whole), np.asarray(vol[..., :6]),
+                               atol=1e-6)
+
+
+def test_run_test_and_full_eval_chain(dm, tmp_path, bids_root):
+    pred_dir = str(tmp_path / "preds" / "pc-bssfp")
+    metrics = run_test(
+        _identity_predict, None, dm, "pc-bssfp", pred_dir, patch_size=8
+    )
+    assert "test_metric_PSNR" in metrics
+    files = os.listdir(pred_dir)
+    kinds = {f.split("-")[0] for f in files}
+    assert kinds == {"input", "pred", "target"}
+
+    # Scalar maps on normalised tensors + diff maps.
+    eval_dwi_tensors(pred_dir, None)
+    names = os.listdir(pred_dir)
+    assert any("_fa" in n and n.startswith("pred") for n in names)
+    assert any("_md" in n and n.startswith("target") for n in names)
+    assert any(n.startswith("diff-") for n in names)
+
+    # ROI error table against the synthetic masks/probsegs.
+    table = calc_error_table(str(tmp_path / "preds"), bids_root)
+    assert not table.empty
+    cols = set(table.columns)
+    assert {"fa", "md", "ad", "rd", "azimuth", "inclination"} <= cols
+    assert {"dxx", "dxy", "dxz", "dyy", "dyz", "dzz"} <= cols
+    rois = {i[2] for i in table.index}
+    assert rois == {"CSF", "GM", "WM"}
+    assert np.isfinite(table[["md", "fa"]].to_numpy()).all()
+
+    out_csv = str(tmp_path / "relative_errors.csv")
+    calc_error_table(str(tmp_path / "preds"), bids_root, out_csv)
+    assert os.path.exists(out_csv)
+
+    # Plots from the error table.
+    from unet_bssfp_tpu.eval.plots import (
+        plot_rel_errors,
+        plot_stacked_bar_scalars,
+        plot_stacked_bar_tensors,
+    )
+
+    out_dir = str(tmp_path / "plots")
+    plot_rel_errors(out_csv, out_dir)
+    assert os.path.exists(os.path.join(out_dir, "sample_stats.csv"))
+    assert os.path.exists(os.path.join(out_dir, "stats.pdf"))
+    plot_stacked_bar_tensors(out_csv, out_dir)
+    assert os.path.exists(os.path.join(out_dir, "diag_tensor_errs.pdf"))
+    plot_stacked_bar_scalars(out_csv, out_dir)
+    assert os.path.exists(os.path.join(out_dir, "fa_errs.pdf"))
+
+
+def test_identity_predictions_have_zero_error(dm, tmp_path):
+    """If pred == target the diff maps and ROI errors are exactly 0."""
+    spec, vols = next(iter(dm.test_volumes(keys=("dwi-tensor",))))
+    y = np.asarray(vols["dwi-tensor"])
+    pred_dir = str(tmp_path / "zero")
+    save_predictions(pred_dir, 0, "dwi-tensor", spec, y, y, y)
+    calc_scalar_maps(pred_dir, source_deriv="")
+    # scalar maps from identical inputs → diff angular/relative errors 0
+    calc_diff_maps(pred_dir)
+    diffs = [f for f in os.listdir(pred_dir) if f.startswith("diff-")]
+    assert diffs
+    from unet_bssfp_tpu.data.nifti import load_volume
+
+    for f in diffs:
+        data, _ = load_volume(os.path.join(pred_dir, f))
+        finite = data[np.isfinite(data)]
+        np.testing.assert_allclose(finite, 0.0, atol=1e-5)

@@ -1,0 +1,148 @@
+"""Typed configuration layer.
+
+The reference hard-codes every path and hyperparameter (reference
+``README.md:5``; ctor defaults ``src/data_module.py:10-19``,
+``src/model.py:142-147``; cluster paths ``src/train.py:89``,
+``src/eval.py:330-346``). This module centralises them as dataclasses with the
+reference's defaults so runs are reproducible and scriptable, while keeping the
+same public knob names.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence, Tuple
+
+
+MODALITIES = ("dwi-tensor", "pc-bssfp", "bssfp", "t1w")
+
+# Channel counts per modality (reference src/model.py:19-34; thesis
+# 03-methods.tex:670-686: pc-bSSFP 24ch, DT 6ch, T1w repeated to 6ch).
+MODALITY_CHANNELS = {
+    "dwi-tensor": 6,
+    "pc-bssfp": 24,
+    "bssfp": 24,
+    "t1w": 6,
+}
+
+# Modalities sharing an input-head parameter subtree
+# (reference src/model.py:19-34: dwi-tensor/t1w share, pc-bssfp/bssfp share).
+HEAD_GROUPS = {
+    "dwi-tensor": "head6",
+    "t1w": "head6",
+    "pc-bssfp": "head24",
+    "bssfp": "head24",
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    """Mirrors DoveDataModule knobs (reference src/data_module.py:10-19)."""
+
+    data_dir: str = ""
+    derivatives: str = "derivatives/preproc-dove"
+    batch_size: int = 8
+    test_split: float = 0.1
+    val_split: float = 0.1
+    num_workers: int = 8
+    max_queue_len: int = 16
+    samples_per_vol: int = 8
+    patch_size: int = 64
+    seed: int = 42
+    # CropOrPad target (reference src/data_module.py:127).
+    volume_shape: Tuple[int, int, int] = (96, 128, 128)
+    # BIDS desc-tag selectors (reference src/data_module.py:99-106).
+    desc_dwi: str = "normtensor"
+    desc_pc_bssfp: str = "normflatbet"
+    desc_bssfp: str = "nfbnopc"
+    desc_t1w: str = "normrepeat"
+    # Augmentation probability per transform (reference
+    # src/data_module.py:130-139: each p=0.1).
+    augment_prob: float = 0.1
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Generator/discriminator hyperparameters (reference src/model.py)."""
+
+    # BasicUNet features (reference src/model.py:26).
+    features: Tuple[int, ...] = (32, 64, 128, 256, 512, 32)
+    dropout: float = 0.05
+    unet_in_channels: int = 24
+    out_channels: int = 6
+    # MONAI BasicUNet defaults: LeakyReLU(0.1) + InstanceNorm(affine).
+    unet_negative_slope: float = 0.1
+    # DownSampleConv LeakyReLU slope (reference src/model.py:57).
+    disc_negative_slope: float = 0.2
+    # Discriminator channel ladder (reference src/model.py:79-83).
+    disc_features: Tuple[int, ...] = (32, 64, 128, 256, 512)
+    # Compute dtype: "bfloat16" for TPU speed-of-light, "float32" for parity
+    # with the reference's fp32 training (src/train.py:33).
+    compute_dtype: str = "bfloat16"
+    # Use Pallas fused kernels where available (falls back to XLA off-TPU).
+    use_pallas: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training-loop hyperparameters (reference src/model.py:142-147,
+    src/train.py:15-43; thesis 03-methods.tex:777-787)."""
+
+    lr: float = 1e-3
+    weight_decay: float = 0.01
+    b1: float = 0.9
+    b2: float = 0.999
+    perceptual_factor: float = 1e3
+    recon_factor: float = 1e2
+    max_epochs: int = 50
+    early_stop_monitor: str = "val_gen_loss_recon"
+    early_stop_patience: int = 10
+    checkpoint_monitor: str = "val_loss"
+    checkpoint_top_k: int = 10
+    checkpoint_dir: str = "logs/checkpoints"
+    log_dir: str = "logs"
+    seed: int = 42
+    # Multi-stage regime (thesis 03-methods.tex:784-787).
+    finetune_lr: float = 1e-5
+    # Mesh axes: data-parallel by default; spatial axis for halo-sharded conv.
+    mesh_axes: Tuple[str, ...] = ("data",)
+    wandb_project: Optional[str] = None  # e.g. "dove"; None = CSV-only
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalConfig:
+    pred_dir: str = "preds"
+    rescale_args_dwi: str = "rescale_args_dwi.txt"
+    out_csv: str = "relative_errors.csv"
+    roi_names: Tuple[str, ...] = ("CSF", "GM", "WM")
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    eval: EvalConfig = dataclasses.field(default_factory=EvalConfig)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @staticmethod
+    def from_json(text: str) -> "Config":
+        raw = json.loads(text)
+
+        def _mk(cls, d):
+            fields = {f.name for f in dataclasses.fields(cls)}
+            kw = {k: v for k, v in d.items() if k in fields}
+            for k, v in kw.items():
+                if isinstance(v, list):
+                    kw[k] = tuple(v)
+            return cls(**kw)
+
+        return Config(
+            data=_mk(DataConfig, raw.get("data", {})),
+            model=_mk(ModelConfig, raw.get("model", {})),
+            train=_mk(TrainConfig, raw.get("train", {})),
+            eval=_mk(EvalConfig, raw.get("eval", {})),
+        )

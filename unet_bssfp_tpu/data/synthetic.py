@@ -1,0 +1,88 @@
+"""Synthetic BIDS dataset fixture generator (SURVEY.md §4c).
+
+Builds a tiny on-disk BIDS tree with the exact ``desc-`` tags and directory
+shape the data layer expects (reference ``src/data_module.py:99-106``;
+prediction-path parsing at ``src/model.py:337-342`` relies on
+``.../sub-XX/ses-YY/<datatype>/file``), enabling end-to-end pipeline tests
+without real data. Volumes are smooth random fields in [0, 1] so metrics and
+losses behave like on real normalised MRI.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence, Tuple
+
+import numpy as np
+
+from unet_bssfp_tpu.data.nifti import save_volume
+
+
+def _smooth_field(rng, shape, channels):
+    # Trilinear-upsample a coarse random grid → smooth MRI-like structure.
+    base = rng.random((5, 5, 5, channels)).astype(np.float32)
+    coarse = base
+    for ax, target in enumerate(shape):
+        idx = np.linspace(0, coarse.shape[ax] - 1, target)
+        lo = np.floor(idx).astype(int)
+        hi = np.minimum(lo + 1, coarse.shape[ax] - 1)
+        frac = (idx - lo).reshape([-1 if a == ax else 1 for a in range(4)])
+        coarse = (
+            np.take(coarse, lo, axis=ax) * (1 - frac)
+            + np.take(coarse, hi, axis=ax) * frac
+        )
+    return np.clip(coarse.astype(np.float32), 0.0, 1.0)
+
+
+def make_synthetic_bids(
+    root: str,
+    subjects: Sequence[str] = ("01", "02", "03", "04", "05"),
+    sessions: Sequence[str] = ("1", "2"),
+    volume_shape: Tuple[int, int, int] = (24, 32, 32),
+    seed: int = 0,
+    derivatives: str = "derivatives/preproc-dove",
+) -> str:
+    """Create the fixture tree; returns ``root``.
+
+    Per subject/session: a DT (desc-normtensor_dwi, 6ch), a pc-bSSFP
+    (desc-normflatbet_bssfp, 24ch), a one-cycle bSSFP (desc-nfbnopc_bssfp,
+    24ch); per subject (first session): a T1w (desc-normrepeat_T1w, 6ch), a
+    brain mask (desc-2mmiso_mask) and a CSF/GM/WM probseg (desc-probseg_T1w).
+    """
+    rng = np.random.default_rng(seed)
+    deriv_root = os.path.join(root, derivatives)
+    for sub in subjects:
+        for i, ses in enumerate(sessions):
+            base = os.path.join(deriv_root, f"sub-{sub}", f"ses-{ses}")
+            for dtype_dir in ("dwi", "anat"):
+                os.makedirs(os.path.join(base, dtype_dir), exist_ok=True)
+            pre = f"sub-{sub}_ses-{ses}"
+            save_volume(
+                os.path.join(base, "dwi", f"{pre}_desc-normtensor_dwi.nii.gz"),
+                _smooth_field(rng, volume_shape, 6),
+            )
+            save_volume(
+                os.path.join(base, "dwi", f"{pre}_desc-normflatbet_bssfp.nii.gz"),
+                _smooth_field(rng, volume_shape, 24),
+            )
+            save_volume(
+                os.path.join(base, "dwi", f"{pre}_desc-nfbnopc_bssfp.nii.gz"),
+                _smooth_field(rng, volume_shape, 24),
+            )
+            if i == 0:
+                save_volume(
+                    os.path.join(base, "anat", f"{pre}_desc-normrepeat_T1w.nii.gz"),
+                    _smooth_field(rng, volume_shape, 6),
+                )
+                mask = (rng.random(volume_shape) > 0.2).astype(np.float32)
+                save_volume(
+                    os.path.join(base, "anat", f"{pre}_desc-2mmiso_mask.nii.gz"),
+                    mask[..., None],
+                )
+                probs = rng.random(volume_shape + (3,)).astype(np.float32)
+                probs = probs / probs.sum(-1, keepdims=True)
+                save_volume(
+                    os.path.join(base, "anat", f"{pre}_desc-probseg_T1w.nii.gz"),
+                    probs,
+                )
+    return root

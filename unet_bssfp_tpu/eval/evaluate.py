@@ -1,0 +1,380 @@
+"""Prediction post-processing & error tables (the ``src/eval.py`` surface).
+
+Same capability as the reference's CPU-multiprocess NumPy stack
+(``src/eval.py``), but the per-voxel math — de-normalisation, 3x3
+eigendecomposition, scalar maps, error maps, ROI reduction — runs as a few
+jitted device computations per volume instead of a Python triple loop per
+worker (reference ``src/eval.py:84-118``). File-level fan-out still uses host
+threads for NIfTI IO.
+
+Fixes carried over from SURVEY.md §7:
+- #2: the eval driver uses this framework's own checkpoint API (the reference
+  imports a ``MultiInputUNet``/``TrainingState`` API that no longer existed).
+- #4: ``rescale_args_dwi.txt`` parses all 6 rows
+  (``ops.scalar_maps.load_rescale_args``) so de-normalisation is actually on
+  (the reference had to comment it out, ``src/eval.py:321``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unet_bssfp_tpu.data.bids import BIDSIndex
+from unet_bssfp_tpu.data.nifti import load_volume, save_volume
+from unet_bssfp_tpu.data.queue import parallel_map
+from unet_bssfp_tpu.ops.error_maps import (
+    angular_error_map,
+    masked_probseg,
+    relative_error_map,
+    roi_weighted_mean_errors,
+)
+from unet_bssfp_tpu.ops.scalar_maps import (
+    compute_scalar_maps,
+    invert_dwi_tensor_norm,
+    load_rescale_args,
+)
+
+SCALAR_SUFFIXES = ("_fa", "_md", "_ad", "_rd", "_azimuth", "_inclination")
+TENSOR_COLS = ("dxx", "dxy", "dxz", "dyy", "dyz", "dzz")
+ROI_NAMES = ("CSF", "GM", "WM")
+
+_NAME_RE = re.compile(
+    r"(?P<kind>input|pred|target|diff)-(?P<idx>\d+)_mod-(?P<mod>.+?)"
+    r"_sub-(?P<sub>[^_]+)_ses-(?P<ses>[^_.]+)"
+    r"(?P<deriv>(?:_[a-z]+)?)\.nii(?:\.gz)?$"
+)
+
+
+def parse_pred_name(path: str) -> Optional[Dict[str, str]]:
+    m = _NAME_RE.search(os.path.basename(path))
+    if not m:
+        return None
+    d = m.groupdict()
+    d["deriv"] = d["deriv"].lstrip("_")
+    return d
+
+
+def _list_files(directory: str) -> List[str]:
+    """All NIfTI files under ``directory``, recursively (prediction roots
+    contain per-modality subdirectories, reference ``src/eval.py:341-346``)."""
+    out = []
+    for root, _, files in os.walk(directory):
+        for fn in files:
+            if fn.endswith(".nii.gz") or fn.endswith(".nii"):
+                out.append(os.path.join(root, fn))
+    return sorted(out)
+
+
+# ---------------------------------------------------------------------------
+# de-normalisation
+# ---------------------------------------------------------------------------
+
+def invert_dwi_tensor_norm_files(
+    directory: str, params: str, num_workers: int = 8
+) -> List[str]:
+    """Write ``*_denorm.nii.gz`` next to each pred/target tensor file
+    (reference ``invert_dwi_tensor_norm``, ``src/eval.py:39-70``)."""
+    minmax = load_rescale_args(params)
+    fn_denorm = jax.jit(lambda d: invert_dwi_tensor_norm(d, minmax))
+
+    todo = []
+    for path in _list_files(directory):
+        ents = parse_pred_name(path)
+        if not ents or ents["kind"] not in ("pred", "target") or ents["deriv"]:
+            continue
+        todo.append(path)
+
+    def work(path):
+        data, affine = load_volume(path)
+        out = np.asarray(fn_denorm(jnp.asarray(data)))
+        out_path = path.replace(".nii.gz", "_denorm.nii.gz").replace(
+            ".nii", "_denorm.nii"
+        ) if not path.endswith(".gz") else path.replace(
+            ".nii.gz", "_denorm.nii.gz"
+        )
+        save_volume(out_path, out, affine)
+        return out_path
+
+    return parallel_map(work, todo, num_workers)
+
+
+# ---------------------------------------------------------------------------
+# scalar maps
+# ---------------------------------------------------------------------------
+
+def calc_scalar_maps(
+    directory: str, num_workers: int = 8, source_deriv: str = "denorm"
+) -> List[str]:
+    """For every ``*_denorm`` pred/target file write the 7 scalar maps
+    (fa/md/ad/rd/azimuth/inclination/rgb), one jitted computation per volume
+    (reference ``calc_scalar_maps`` + ``do_calc_scalar_maps``,
+    ``src/eval.py:73-151``)."""
+    todo = []
+    for path in _list_files(directory):
+        ents = parse_pred_name(path)
+        if (
+            not ents
+            or ents["kind"] not in ("pred", "target")
+            or ents["deriv"] != source_deriv
+        ):
+            continue
+        todo.append(path)
+
+    def work(path):
+        data, affine = load_volume(path)
+        maps = compute_scalar_maps(jnp.asarray(data))
+        out_paths = []
+        for name in ("fa", "md", "ad", "rd", "azimuth", "inclination", "rgb"):
+            arr = np.asarray(getattr(maps, name))
+            if source_deriv:
+                out_path = path.replace(f"_{source_deriv}", f"_{name}")
+            else:
+                out_path = path.replace(".nii", f"_{name}.nii", 1)
+            save_volume(out_path, arr, affine)
+            out_paths.append(out_path)
+        return out_paths
+
+    return [p for sub in parallel_map(work, todo, num_workers) for p in sub]
+
+
+# ---------------------------------------------------------------------------
+# difference maps
+# ---------------------------------------------------------------------------
+
+def calc_diff_maps(directory: str, num_workers: int = 8) -> List[str]:
+    """Relative-error maps for tensors/diffusivities, angular for
+    azimuth/inclination; writes ``diff-...`` files (reference
+    ``calc_diff_maps`` + ``do_calc_diff_maps``, ``src/eval.py:154-192``)."""
+    rel_fn = jax.jit(relative_error_map)
+    ang_fn = jax.jit(angular_error_map)
+
+    by_key: Dict[Tuple, Dict[str, str]] = {}
+    for path in _list_files(directory):
+        ents = parse_pred_name(path)
+        if not ents or ents["kind"] not in ("pred", "target"):
+            continue
+        if ents["deriv"] in ("rgb",):
+            continue
+        key = (ents["idx"], ents["mod"], ents["sub"], ents["ses"],
+               ents["deriv"])
+        by_key.setdefault(key, {})[ents["kind"]] = path
+
+    pairs = []
+    for key, kinds in sorted(by_key.items()):
+        if "pred" in kinds and "target" in kinds:
+            pairs.append((kinds["pred"], kinds["target"], key[4]))
+        else:
+            print(f"Could not find both files for {key}: {list(kinds)}")
+
+    def work(args):
+        pred_path, target_path, deriv = args
+        pred, affine = load_volume(pred_path)
+        target, _ = load_volume(target_path)
+        if deriv in ("azimuth", "inclination"):
+            diff = ang_fn(jnp.asarray(pred), jnp.asarray(target))
+        else:
+            diff = rel_fn(jnp.asarray(pred), jnp.asarray(target))
+        out_path = pred_path.replace("pred-", "diff-")
+        save_volume(out_path, np.asarray(diff), affine)
+        return out_path
+
+    return parallel_map(work, pairs, num_workers)
+
+
+# ---------------------------------------------------------------------------
+# ROI error table
+# ---------------------------------------------------------------------------
+
+def _load_masks(data_path: str, subjects: Iterable[str], derivatives: str):
+    index = BIDSIndex(data_path)
+    deriv_dir = os.path.join(data_path, derivatives)
+    if os.path.isdir(deriv_dir):
+        index.add_derivatives(deriv_dir)
+    scope = os.path.basename(derivatives.rstrip("/"))
+    masks, probsegs = {}, {}
+    for sub in subjects:
+        mask_files = index.get(scope=scope, subject=sub, desc="2mmiso",
+                               suffix="mask")
+        seg_files = index.get(scope=scope, subject=sub, desc="probseg",
+                              suffix="T1w")
+        if not mask_files or not seg_files:
+            continue
+        mask = load_volume(mask_files[0])[0][..., 0]
+        probseg = load_volume(seg_files[0])[0]
+        masks[sub] = jnp.asarray(mask)
+        probsegs[sub] = masked_probseg(masks[sub], jnp.asarray(probseg))
+    return masks, probsegs
+
+
+def calc_error_table(
+    pred_path: str,
+    data_path: str,
+    out_csv: Optional[str] = None,
+    derivatives: str = "derivatives/preproc-dove",
+    num_workers: int = 8,
+):
+    """Probseg-weighted mean |relative error| per (modality, pred_id, sub,
+    ses, roi) x (tensor elements + scalars), merged into one table (reference
+    ``calc_error_table`` + ``do_calc_error_avg``, ``src/eval.py:217-317``).
+    Returns a pandas DataFrame; writes ``out_csv`` when given.
+    """
+    import pandas as pd
+
+    diff_files = []
+    for root, _, files in os.walk(pred_path):
+        for fn in sorted(files):
+            ents = parse_pred_name(fn)
+            if ents and ents["kind"] == "diff" and ents["deriv"] not in (
+                "denorm", "rgb",
+            ):
+                diff_files.append(os.path.join(root, fn))
+
+    subjects = sorted(
+        {parse_pred_name(f)["sub"] for f in diff_files}
+    )
+    masks, probsegs = _load_masks(data_path, subjects, derivatives)
+
+    def work(path):
+        ents = parse_pred_name(path)
+        sub = ents["sub"]
+        if sub not in masks:
+            return None
+        data, _ = load_volume(path)
+        errors = np.asarray(
+            roi_weighted_mean_errors(
+                jnp.asarray(data), masks[sub], probsegs[sub]
+            )
+        )
+        if ents["deriv"]:
+            cols = [ents["deriv"]]
+        else:
+            cols = list(TENSOR_COLS)
+        rows = []
+        for r, roi in enumerate(ROI_NAMES):
+            for c, col in enumerate(cols):
+                rows.append(
+                    {
+                        "modality": ents["mod"],
+                        "pred_id": ents["idx"],
+                        "sub": sub,
+                        "ses": ents["ses"],
+                        "roi": roi,
+                        "column": col,
+                        "value": errors[r, c],
+                    }
+                )
+        return rows
+
+    results = [r for r in parallel_map(work, diff_files, num_workers) if r]
+    flat = [row for rows in results for row in rows]
+    if not flat:
+        return pd.DataFrame()
+    long = pd.DataFrame(flat)
+    table = long.pivot_table(
+        index=["modality", "pred_id", "sub", "ses", "roi"],
+        columns="column",
+        values="value",
+        aggfunc="mean",
+    ).reset_index()
+    table.columns.name = None
+    ordered = ["modality", "pred_id", "sub", "ses", "roi"] + [
+        c for c in list(TENSOR_COLS) + ["md", "fa", "ad", "rd", "azimuth",
+                                        "inclination"]
+        if c in table.columns
+    ]
+    table = table[ordered].set_index(["modality", "pred_id", "roi"])
+    if out_csv:
+        table.to_csv(out_csv)
+    return table
+
+
+# ---------------------------------------------------------------------------
+# drivers
+# ---------------------------------------------------------------------------
+
+def eval_dwi_tensors(
+    pred_dir: str, dwi_rescale_args_path: Optional[str] = None
+) -> None:
+    """Full per-directory post-processing chain (reference
+    ``eval_dwi_tensors``, ``src/eval.py:320-323`` — with de-normalisation
+    enabled, which the reference had to comment out)."""
+    if dwi_rescale_args_path and os.path.exists(dwi_rescale_args_path):
+        invert_dwi_tensor_norm_files(pred_dir, dwi_rescale_args_path)
+        calc_scalar_maps(pred_dir, source_deriv="denorm")
+    else:
+        # Fall back to computing scalar maps on the normalised tensors.
+        _alias_norm_as_denorm(pred_dir)
+        calc_scalar_maps(pred_dir, source_deriv="denorm")
+    calc_diff_maps(pred_dir)
+
+
+def _alias_norm_as_denorm(pred_dir: str) -> None:
+    for path in _list_files(pred_dir):
+        ents = parse_pred_name(path)
+        if not ents or ents["kind"] not in ("pred", "target") or ents["deriv"]:
+            continue
+        data, affine = load_volume(path)
+        save_volume(
+            path.replace(".nii.gz", "_denorm.nii.gz"), data, affine
+        )
+
+
+def eval_model(
+    data,
+    checkpoint_path: str,
+    modality: str,
+    pred_dir: str,
+    config=None,
+) -> Dict[str, float]:
+    """Load a checkpoint, run grid-stitched test inference, move predictions
+    into ``pred_dir`` (reference ``eval_model``, ``src/eval.py:195-213``),
+    and write ``test_metrics.csv`` for the report tooling."""
+    import csv
+
+    from unet_bssfp_tpu.config import Config
+    from unet_bssfp_tpu.eval.inference import run_test
+    from unet_bssfp_tpu.train.checkpoint import load_checkpoint
+    from unet_bssfp_tpu.train.state import build_models, create_gan_state
+    from unet_bssfp_tpu.train.steps import make_predict_fn
+
+    config = config or Config()
+    gen, _ = build_models(modality, config.model)
+    state = create_gan_state(
+        jax.random.PRNGKey(0), modality, config.model, config.train,
+        patch_size=config.data.patch_size,
+    )
+    state = load_checkpoint(checkpoint_path, state)
+    predict_fn = make_predict_fn(gen)
+    data.setup()
+    metrics = run_test(
+        predict_fn, state, data, modality, pred_dir,
+        patch_size=config.data.patch_size,
+    )
+    os.makedirs(pred_dir, exist_ok=True)
+    with open(os.path.join(pred_dir, "test_metrics.csv"), "w", newline="") as f:
+        writer = csv.DictWriter(f, fieldnames=["modality", *metrics.keys()])
+        writer.writeheader()
+        writer.writerow({"modality": modality, **metrics})
+    return metrics
+
+
+def gen_predictions(
+    data,
+    checkpoints: Dict[str, str],
+    pred_base: str,
+    dwi_rescale_args_path: Optional[str] = None,
+    config=None,
+) -> None:
+    """Evaluate a checkpoint per modality and post-process each prediction
+    directory (reference ``gen_predictions``, ``src/eval.py:326-351`` — paths
+    come from arguments instead of hard-coded cluster locations)."""
+    for modality, ckpt in checkpoints.items():
+        pred_dir = os.path.join(pred_base, modality)
+        eval_model(data, ckpt, modality, pred_dir, config)
+        eval_dwi_tensors(pred_dir, dwi_rescale_args_path)

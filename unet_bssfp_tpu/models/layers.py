@@ -1,0 +1,187 @@
+"""Building-block 3D conv modules (Flax linen, channels-last NDHWC).
+
+TPU-first layout choice: NDHWC keeps the channel dim in lanes so XLA tiles
+convs onto the MXU without transposes; all modules run in a configurable
+compute dtype (bfloat16 by default) with float32 params.
+
+Blocks mirror the reference's building blocks:
+- ``ConvBlock``  == ``DownSampleConv`` (reference ``src/model.py:42-65``):
+  Conv3d(k=4, s=2, p=1 default) + optional BatchNorm3d + LeakyReLU(0.2).
+- ``TwoConv``/``Down``/``UpCat`` == the MONAI BasicUNet blocks the generator's
+  backbone is built from (reference ``src/model.py:22-28`` instantiates
+  ``monai.networks.nets.BasicUNet``): conv(k=3) → InstanceNorm(affine) →
+  Dropout → LeakyReLU(0.1), max-pool downsampling, transpose-conv upsampling
+  with skip concatenation.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class InstanceNorm(nn.Module):
+    """InstanceNorm3d(affine=True) equivalent: per-(sample, channel) moments
+    over spatial dims. eps matches torch's 1e-5."""
+
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        axes = tuple(range(1, x.ndim - 1))  # spatial dims of NDHWC
+        dtype = self.dtype or x.dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        var = jnp.var(xf, axis=axes, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+        return (y * scale + bias).astype(dtype)
+
+
+class ConvBlock(nn.Module):
+    """``DownSampleConv`` equivalent (reference ``src/model.py:42-65``):
+    Conv3d + optional BatchNorm3d + LeakyReLU(negative_slope).
+
+    Defaults k=4/s=2/p=1 (strided downsampling); the per-modality input heads
+    use k=1/s=1/p=0 (reference ``src/model.py:19-21``).
+    """
+
+    features: int
+    kernel: int = 4
+    stride: int = 2
+    padding: int = 1
+    activation: bool = True
+    batchnorm: bool = True
+    negative_slope: float = 0.2
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        x = nn.Conv(
+            self.features,
+            kernel_size=(self.kernel,) * 3,
+            strides=(self.stride,) * 3,
+            padding=self.padding,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.batchnorm:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
+        if self.activation:
+            x = nn.leaky_relu(x, self.negative_slope)
+        return x
+
+
+class ConvNormAct(nn.Module):
+    """One MONAI ``Convolution`` with ADN ordering Norm → Dropout → Act:
+    Conv3d(k=3, p=1) → InstanceNorm(affine) → Dropout(p) → LeakyReLU(0.1)."""
+
+    features: int
+    dropout: float = 0.0
+    negative_slope: float = 0.1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        x = nn.Conv(
+            self.features,
+            kernel_size=(3, 3, 3),
+            padding=1,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        x = InstanceNorm(dtype=self.dtype, name="norm")(x)
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.leaky_relu(x, self.negative_slope)
+
+
+class TwoConv(nn.Module):
+    """Two stacked ConvNormAct blocks (MONAI BasicUNet ``TwoConv``)."""
+
+    features: int
+    dropout: float = 0.0
+    negative_slope: float = 0.1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        x = ConvNormAct(
+            self.features, self.dropout, self.negative_slope, self.dtype,
+            name="conv_0",
+        )(x, train)
+        x = ConvNormAct(
+            self.features, self.dropout, self.negative_slope, self.dtype,
+            name="conv_1",
+        )(x, train)
+        return x
+
+
+class Down(nn.Module):
+    """Max-pool(2) then TwoConv (MONAI BasicUNet ``Down``)."""
+
+    features: int
+    dropout: float = 0.0
+    negative_slope: float = 0.1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
+        return TwoConv(
+            self.features, self.dropout, self.negative_slope, self.dtype,
+            name="convs",
+        )(x, train)
+
+
+class UpCat(nn.Module):
+    """Transpose-conv upsample ×2 → pad-to-skip → concat(skip, up) → TwoConv
+    (MONAI BasicUNet ``UpCat`` with mode='deconv').
+
+    ``up_features`` is in_channels//2 when ``halves`` (all but the last
+    decoder stage of BasicUNet).
+    """
+
+    features: int          # TwoConv output channels
+    up_features: int       # transpose-conv output channels
+    dropout: float = 0.0
+    negative_slope: float = 0.1
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, skip: jax.Array, train: bool = True
+    ) -> jax.Array:
+        x = nn.ConvTranspose(
+            self.up_features,
+            kernel_size=(2, 2, 2),
+            strides=(2, 2, 2),
+            dtype=self.dtype,
+            name="upsample",
+        )(x)
+        # Pad upsampled map to match skip spatial dims (odd-sized inputs).
+        pads = [(0, 0)]
+        for ax in range(1, 4):
+            diff = skip.shape[ax] - x.shape[ax]
+            pads.append((diff // 2, diff - diff // 2))
+        pads.append((0, 0))
+        if any(p != (0, 0) for p in pads):
+            x = jnp.pad(x, pads, mode="edge")
+        x = jnp.concatenate([skip, x], axis=-1)
+        return TwoConv(
+            self.features, self.dropout, self.negative_slope, self.dtype,
+            name="convs",
+        )(x, train)

@@ -1,0 +1,64 @@
+"""BasicUNet-3D backbone (Flax, NDHWC).
+
+Structurally equivalent to the MONAI ``BasicUNet`` the reference generator
+wraps (reference ``src/model.py:22-28``): features (32, 64, 128, 256, 512, 32),
+4 max-pool encoder stages, 4 transpose-conv decoder stages with skip
+concatenation, dropout 0.05, InstanceNorm(affine) + LeakyReLU(0.1), final 1³
+conv to ``out_channels``.
+
+Channel plumbing for features (f0..f4, f5):
+  conv_0: in → f0
+  down_k: f_{k-1} → f_k              (k = 1..4)
+  upcat_4: (f4 ↑ f4/2) ⊕ f3 → f3
+  upcat_3: (f3 ↑ f3/2) ⊕ f2 → f2
+  upcat_2: (f2 ↑ f2/2) ⊕ f1 → f1
+  upcat_1: (f1 ↑ f1)   ⊕ f0 → f5    (no halving on the last stage)
+  final:  f5 → out_channels (1³ conv)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+from flax import linen as nn
+
+from unet_bssfp_tpu.models.layers import Down, TwoConv, UpCat
+
+
+class BasicUNet3D(nn.Module):
+    out_channels: int = 6
+    features: Tuple[int, ...] = (32, 64, 128, 256, 512, 32)
+    dropout: float = 0.05
+    negative_slope: float = 0.1
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
+        f = self.features
+        assert len(f) == 6, "BasicUNet3D needs 6 feature sizes"
+
+        x0 = TwoConv(f[0], self.dropout, self.negative_slope, self.dtype,
+                     name="conv_0")(x, train)
+        x1 = Down(f[1], self.dropout, self.negative_slope, self.dtype,
+                  name="down_1")(x0, train)
+        x2 = Down(f[2], self.dropout, self.negative_slope, self.dtype,
+                  name="down_2")(x1, train)
+        x3 = Down(f[3], self.dropout, self.negative_slope, self.dtype,
+                  name="down_3")(x2, train)
+        x4 = Down(f[4], self.dropout, self.negative_slope, self.dtype,
+                  name="down_4")(x3, train)
+
+        u4 = UpCat(f[3], f[4] // 2, self.dropout, self.negative_slope,
+                   self.dtype, name="upcat_4")(x4, x3, train)
+        u3 = UpCat(f[2], f[3] // 2, self.dropout, self.negative_slope,
+                   self.dtype, name="upcat_3")(u4, x2, train)
+        u2 = UpCat(f[1], f[2] // 2, self.dropout, self.negative_slope,
+                   self.dtype, name="upcat_2")(u3, x1, train)
+        u1 = UpCat(f[5], f[1], self.dropout, self.negative_slope,
+                   self.dtype, name="upcat_1")(u2, x0, train)
+
+        return nn.Conv(
+            self.out_channels, kernel_size=(1, 1, 1), dtype=self.dtype,
+            name="final_conv",
+        )(u1)

@@ -1,0 +1,133 @@
+"""Pallas TPU kernel: fused InstanceNorm(affine) + LeakyReLU.
+
+The conv → InstanceNorm → LeakyReLU chain follows every convolution in the
+generator backbone (``models.layers.ConvNormAct``; reference MONAI
+Convolution ADN, ``src/model.py:22-28``). XLA executes the norm as a reduce
+pass plus a normalize pass over HBM; when one (sample, channel-block) spatial
+volume fits VMEM, this kernel loads it once, computes moments in VMEM
+scratch-free, normalizes, applies the affine + LeakyReLU and writes once:
+two HBM passes instead of three, on the VPU.
+
+Layout: ``(N, D, H, W, C)`` channels-last. Grid ``(N, C // C_BLK)``; each
+program handles the full spatial volume of a channel block, reshaped to
+``(D*H*W, C_BLK)`` — spatial in sublanes, channels in lanes, so the spatial
+reduction is a sublane reduction and all lanes stay independent channels.
+
+Sizing: bf16 needs (D*H*W) * C_BLK * 2B * 2 buffers under the VMEM budget;
+``fused_instance_norm_leaky_relu`` auto-picks C_BLK and falls back to the XLA
+reference implementation when even C_BLK=128 does not fit (e.g. 96x128x128
+whole volumes) or when not on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom out of ~16MB/core
+
+
+def instance_norm_leaky_relu_reference(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    negative_slope: float = 0.1,
+    epsilon: float = 1e-5,
+) -> jax.Array:
+    """XLA reference/fallback with identical semantics (fp32 moments)."""
+    axes = tuple(range(1, x.ndim - 1))
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.var(xf, axis=axes, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + epsilon)
+    y = y * scale + bias
+    return jnp.where(y >= 0, y, negative_slope * y).astype(x.dtype)
+
+
+def _kernel(x_ref, scale_ref, bias_ref, out_ref, *, negative_slope, epsilon,
+            inv_count):
+    x = x_ref[0].astype(jnp.float32)  # (S, C_BLK)
+    mean = jnp.sum(x, axis=0, keepdims=True) * inv_count
+    centered = x - mean
+    var = jnp.sum(centered * centered, axis=0, keepdims=True) * inv_count
+    y = centered * jax.lax.rsqrt(var + epsilon)
+    y = y * scale_ref[:] + bias_ref[:]
+    y = jnp.where(y >= 0.0, y, negative_slope * y)
+    out_ref[0] = y.astype(out_ref.dtype)
+
+
+def _pick_c_block(spatial: int, channels: int, itemsize: int) -> Optional[int]:
+    for c_blk in (256, 128):
+        if channels % c_blk != 0:
+            continue
+        need = spatial * c_blk * itemsize * 2 + spatial * c_blk * 4
+        if need <= _VMEM_BUDGET:
+            return c_blk
+    if channels <= 128:
+        need = spatial * channels * itemsize * 2 + spatial * channels * 4
+        if need <= _VMEM_BUDGET:
+            return channels
+    return None
+
+
+@functools.partial(
+    jax.jit, static_argnames=("negative_slope", "epsilon", "interpret")
+)
+def fused_instance_norm_leaky_relu(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    negative_slope: float = 0.1,
+    epsilon: float = 1e-5,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused IN+LeakyReLU on ``(N, D, H, W, C)``; falls back to XLA when the
+    block does not fit VMEM. Differentiable via the XLA path (use inside
+    training only through ``models.layers`` which selects per-shape)."""
+    n, d, h, w, c = x.shape
+    spatial = d * h * w
+    c_blk = _pick_c_block(spatial, c, x.dtype.itemsize)
+    if c_blk is None:
+        return instance_norm_leaky_relu_reference(
+            x, scale, bias, negative_slope, epsilon
+        )
+
+    x2 = x.reshape(n, spatial, c)
+    kernel = functools.partial(
+        _kernel,
+        negative_slope=negative_slope,
+        epsilon=epsilon,
+        inv_count=1.0 / spatial,
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        grid=(n, c // c_blk),
+        in_specs=[
+            pl.BlockSpec(
+                (1, spatial, c_blk),
+                lambda i, j: (i, 0, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, c_blk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_blk), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, spatial, c_blk), lambda i, j: (i, 0, j),
+            memory_space=pltpu.VMEM,
+        ),
+        interpret=interpret,
+    )(
+        x2,
+        scale.astype(jnp.float32).reshape(1, c),
+        bias.astype(jnp.float32).reshape(1, c),
+    )
+    return out.reshape(x.shape)

@@ -1,0 +1,62 @@
+"""Device mesh + sharding helpers.
+
+TPU-native replacement for the reference's NCCL DDP strategy
+(``strategy='ddp_find_unused_parameters_true'``, ``src/train.py:30``;
+4-GPU data parallelism per thesis 03-methods.tex): a ``jax.sharding.Mesh``
+over ICI with the batch sharded on a ``data`` axis and parameters replicated.
+Under ``jit``, XLA inserts the gradient all-reduce (psum over ICI)
+automatically from the sharding annotations — the scaling-book recipe: pick a
+mesh, annotate shardings, let XLA place collectives.
+
+``find_unused_parameters`` has no analogue here by design: only the active
+modality head exists in the parameter pytree (see ``models.generator``).
+
+A ``space`` axis is reserved for spatial (halo-exchange) sharding of
+whole-volume convs — the context-parallel analogue for this model family
+(SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axes: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a mesh over the first ``n_devices`` devices.
+
+    1-axis default: pure data parallel. Pass ``axes=('data', 'space')`` and a
+    ``shape`` to reserve a spatial-sharding axis.
+    """
+    devices = jax.devices()
+    if n_devices is None:
+        n_devices = len(devices)
+    devices = devices[:n_devices]
+    if shape is None:
+        shape = (len(devices),) + (1,) * (len(axes) - 1)
+    dev_array = np.asarray(devices).reshape(shape)
+    return Mesh(dev_array, axes)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard dim 0 (batch) over the data axis; everything else replicated."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch, axis: str = "data"):
+    """Device-put a host batch (pytree of arrays) with dim-0 sharding."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )

@@ -1,0 +1,138 @@
+"""Epoch driver: the ``trainer.fit`` equivalent.
+
+Replaces the reference's Lightning orchestration (``src/train.py:15-77``):
+max 50 epochs, early stopping on ``val_gen_loss_recon`` (patience 10), top-10
+checkpoints by ``val_loss``, CSV/W&B metric logging, wall-time prints, resume
+from checkpoint — driving the single-jit GAN step over a data-parallel mesh.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from unet_bssfp_tpu.config import Config
+from unet_bssfp_tpu.data.datamodule import DoveDataModule
+from unet_bssfp_tpu.parallel.mesh import make_mesh, shard_batch
+from unet_bssfp_tpu.train.checkpoint import CheckpointManager, load_checkpoint
+from unet_bssfp_tpu.train.logging import EarlyStopping, MetricLogger
+from unet_bssfp_tpu.train.state import GANTrainState, build_models, create_gan_state
+from unet_bssfp_tpu.train.steps import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: Config,
+        modality: str,
+        mesh=None,
+        perceptual_fn=None,
+        debug: bool = False,
+    ):
+        self.config = config
+        self.modality = modality
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.perceptual_fn = perceptual_fn
+        self.debug = debug
+        self.gen, self.disc = build_models(modality, config.model)
+        self.train_step = make_train_step(
+            self.gen, self.disc, config.train, perceptual_fn, self.mesh
+        )
+        self.eval_step = make_eval_step(
+            self.gen, self.disc, config.train, perceptual_fn, self.mesh
+        )
+        run_name = f"{modality}-{datetime.datetime.now():%Y%m%d-%H%M%S}"
+        self.logger = MetricLogger(
+            os.path.join(config.train.log_dir, run_name),
+            wandb_project=config.train.wandb_project,
+            run_name=run_name,
+        )
+        self.ckpt = CheckpointManager(
+            os.path.join(config.train.checkpoint_dir, run_name),
+            monitor=config.train.checkpoint_monitor,
+            top_k=config.train.checkpoint_top_k,
+        )
+        self.early_stop = EarlyStopping(
+            config.train.early_stop_monitor,
+            patience=config.train.early_stop_patience,
+        )
+
+    def init_state(self, key: Optional[jax.Array] = None) -> GANTrainState:
+        if key is None:
+            key = jax.random.PRNGKey(self.config.train.seed)
+        return create_gan_state(
+            key,
+            self.modality,
+            self.config.model,
+            self.config.train,
+            patch_size=self.config.data.patch_size,
+        )
+
+    def fit(
+        self,
+        data: DoveDataModule,
+        state: Optional[GANTrainState] = None,
+        max_epochs: Optional[int] = None,
+    ) -> Tuple[GANTrainState, Optional[str]]:
+        cfg = self.config
+        if state is None:
+            state = self.init_state()
+        data.setup()
+        keys = (self.modality, "dwi-tensor")
+        epoch_key = jax.random.PRNGKey(cfg.train.seed + 1)
+        max_epochs = max_epochs or cfg.train.max_epochs
+
+        if self.debug:
+            jax.config.update("jax_debug_nans", True)
+
+        for epoch in range(max_epochs):
+            epoch_key, k_train, k_val = jax.random.split(epoch_key, 3)
+            for batch in data.train_batches(k_train, keys=keys):
+                batch = shard_batch(self.mesh, batch)
+                x = batch[self.modality]
+                y = batch["dwi-tensor_orig"]
+                state, metrics = self.train_step(state, x, y)
+                self.logger.log_step(metrics)
+            for batch in data.val_batches(k_val, keys=keys):
+                batch = shard_batch(self.mesh, batch)
+                metrics, _ = self.eval_step(
+                    state, batch[self.modality], batch["dwi-tensor_orig"]
+                )
+                self.logger.log_step(metrics)
+            row = self.logger.end_epoch(epoch)
+            self.ckpt.save(epoch, state, row)
+            if self.early_stop.update(row):
+                break
+        self.ckpt.wait()
+        if self.debug:
+            jax.config.update("jax_debug_nans", False)
+        return state, self.ckpt.best_path()
+
+
+def train_model(
+    data: DoveDataModule,
+    modality: str,
+    ckpt_path: Optional[str] = None,
+    debug: bool = False,
+    config: Optional[Config] = None,
+    max_epochs: Optional[int] = None,
+) -> str:
+    """``train_model`` equivalent (reference ``src/train.py:46-77``): builds
+    the trainer, optionally resumes from ``ckpt_path``, fits, returns the best
+    checkpoint path."""
+    config = config or Config()
+    start = datetime.datetime.now()
+    trainer = Trainer(config, modality, debug=debug)
+    state = trainer.init_state()
+    if ckpt_path:
+        state = load_checkpoint(ckpt_path, state)
+    print(f"Training for modality {modality} started at {start}")
+    state, best = trainer.fit(data, state, max_epochs=max_epochs)
+    end = datetime.datetime.now()
+    print(f"Training finished at {end}.\nTook: {end - start}")
+    trainer.logger.finish()
+    return best

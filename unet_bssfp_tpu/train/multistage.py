@@ -1,0 +1,285 @@
+"""Multi-stage pretrain → transfer → finetune training (MultiInputUNet).
+
+The regime the published finetune metrics come from (thesis
+03-methods.tex Training; BASELINE.md 'multi-stage' table), which the current
+reference code lost (SURVEY.md §0): supervised training of
+:class:`MultiInputUNet` with ``L1 + (1 - SSIM) + perceptual`` loss,
+
+- PRETRAIN: autoencode the DT (input = target modality ``dwi-tensor``),
+- TRANSFER: swap to the new modality's input head and train only it
+  (backbone frozen via an optax gradient mask),
+- FINE_TUNE: all parameters trainable at lr 1e-5.
+
+``change_training_state`` from the reference eval API
+(``src/eval.py:199``) decomposes into stage-specific step functions built
+here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from unet_bssfp_tpu.config import Config, ModelConfig, TrainConfig
+from unet_bssfp_tpu.models.multi_input_unet import (
+    MultiInputUNet,
+    TrainingState,
+    stage_lr,
+    trainable_mask,
+)
+from unet_bssfp_tpu.ops.losses import l1_loss, ssim_loss
+from unet_bssfp_tpu.ops.metrics import mae, psnr, ssim3d
+
+
+@struct.dataclass
+class SupervisedState:
+    step: jax.Array
+    rng: jax.Array
+    params: Any
+    opt_state: Any
+
+
+def build_multi_input_unet(modality: str, mcfg: ModelConfig) -> MultiInputUNet:
+    return MultiInputUNet(
+        modality=modality,
+        out_channels=mcfg.out_channels,
+        dropout=mcfg.dropout,
+        dtype=jnp.dtype(mcfg.compute_dtype),
+    )
+
+
+def create_supervised_state(
+    key: jax.Array,
+    net: MultiInputUNet,
+    tcfg: TrainConfig,
+    stage: TrainingState,
+    patch_size: int = 64,
+    params: Optional[Any] = None,
+) -> SupervisedState:
+    from unet_bssfp_tpu.config import MODALITY_CHANNELS
+
+    k_init, k_state = jax.random.split(key)
+    if params is None:
+        x = jnp.zeros(
+            (1, patch_size, patch_size, patch_size,
+             MODALITY_CHANNELS[net.modality])
+        )
+        params = net.init(
+            {"params": k_init, "dropout": k_state}, x, train=False
+        )["params"]
+    opt = make_stage_optimizer(params, tcfg, stage)
+    return SupervisedState(
+        step=jnp.zeros((), jnp.int32),
+        rng=k_state,
+        params=params,
+        opt_state=opt.init(params),
+    )
+
+
+def make_stage_optimizer(params, tcfg: TrainConfig, stage: TrainingState):
+    """AdamW with the stage's lr, restricted to the stage's trainable subtree
+    (TRANSFER freezes the backbone; thesis 03-methods.tex). Frozen leaves get
+    ``set_to_zero`` updates (``optax.masked`` would pass raw gradients
+    through for unmasked leaves)."""
+    lr = stage_lr(stage, tcfg.lr, tcfg.finetune_lr)
+    opt = optax.adamw(
+        lr, b1=tcfg.b1, b2=tcfg.b2, eps=1e-8,
+        weight_decay=tcfg.weight_decay,
+    )
+    mask = trainable_mask(params, stage)
+    labels = jax.tree_util.tree_map(
+        lambda m: "train" if m else "freeze", mask
+    )
+    return optax.multi_transform(
+        {"train": opt, "freeze": optax.set_to_zero()}, labels
+    )
+
+
+def make_supervised_train_step(
+    net: MultiInputUNet,
+    tcfg: TrainConfig,
+    stage: TrainingState,
+    params_template,
+    perceptual_fn: Optional[Callable] = None,
+    mesh=None,
+):
+    """Jitted supervised step ``(state, x, y) -> (state, metrics)`` with the
+    thesis loss: ``L1 + (1 - SSIM) + perceptual`` (perceptual scaled by
+    ``perceptual_factor``)."""
+    opt = make_stage_optimizer(params_template, tcfg, stage)
+
+    def step(state: SupervisedState, x: jax.Array, y: jax.Array):
+        rng, k_drop = jax.random.split(state.rng)
+
+        def loss_fn(params):
+            y_hat = net.apply(
+                {"params": params}, x, train=True,
+                rngs={"dropout": k_drop},
+            )
+            y_hat32 = y_hat.astype(jnp.float32)
+            y32 = y.astype(jnp.float32)
+            terms = {
+                "L1": l1_loss(y_hat32, y32),
+                "SSIM": ssim_loss(y_hat32, y32),
+            }
+            if perceptual_fn is not None:
+                terms["Perceptual"] = (
+                    perceptual_fn(y_hat32, y32) * tcfg.perceptual_factor
+                )
+            return sum(terms.values()), terms
+
+        (loss, terms), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, opt_state = opt.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, rng=rng, params=params, opt_state=opt_state
+        )
+        metrics = {"train_loss": loss}
+        for name, val in terms.items():
+            metrics[f"train_loss_{name}"] = val
+        return new_state, metrics
+
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        bshard = NamedSharding(mesh, P("data"))
+        kwargs["in_shardings"] = (repl, bshard, bshard)
+        kwargs["out_shardings"] = (repl, repl)
+    return jax.jit(step, **kwargs)
+
+
+def make_supervised_eval_step(
+    net: MultiInputUNet,
+    tcfg: TrainConfig,
+    perceptual_fn: Optional[Callable] = None,
+    mesh=None,
+):
+    def step(state: SupervisedState, x: jax.Array, y: jax.Array):
+        y_hat = net.apply({"params": state.params}, x, train=False)
+        y_hat32 = y_hat.astype(jnp.float32)
+        y32 = y.astype(jnp.float32)
+        terms = {
+            "L1": l1_loss(y_hat32, y32),
+            "SSIM": ssim_loss(y_hat32, y32),
+        }
+        if perceptual_fn is not None:
+            terms["Perceptual"] = (
+                perceptual_fn(y_hat32, y32) * tcfg.perceptual_factor
+            )
+        metrics = {"val_loss": sum(terms.values())}
+        for name, val in terms.items():
+            metrics[f"val_loss_{name}"] = val
+        metrics["val_metric_PSNR"] = jnp.mean(psnr(y_hat32, y32))
+        metrics["val_metric_SSIM"] = jnp.mean(ssim3d(y_hat32, y32))
+        metrics["val_metric_L1"] = jnp.mean(mae(y_hat32, y32))
+        return metrics, y_hat
+
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        bshard = NamedSharding(mesh, P("data"))
+        kwargs["in_shardings"] = (repl, bshard, bshard)
+    return jax.jit(step, **kwargs)
+
+
+def transfer_params(pretrained_params, target_net: MultiInputUNet, key,
+                    patch_size: int = 64):
+    """Initialise the target modality's net, grafting the pretrained backbone
+    (the TRANSFER head-swap): unet subtree copied, head subtree fresh unless
+    head-groups match."""
+    from unet_bssfp_tpu.config import MODALITY_CHANNELS
+
+    x = jnp.zeros(
+        (1, patch_size, patch_size, patch_size,
+         MODALITY_CHANNELS[target_net.modality])
+    )
+    fresh = target_net.init(
+        {"params": key, "dropout": key}, x, train=False
+    )["params"]
+    out = dict(fresh)
+    for name in fresh:
+        if name in pretrained_params and not name.startswith("head"):
+            out[name] = pretrained_params[name]
+        elif name in pretrained_params and name.startswith("head"):
+            # Same head-group (e.g. dwi-tensor -> t1w): reuse.
+            out[name] = pretrained_params[name]
+    return out
+
+
+def run_multistage(
+    data,
+    target_modality: str,
+    config: Optional[Config] = None,
+    perceptual_fn: Optional[Callable] = None,
+    epochs_per_stage: Optional[Dict[TrainingState, int]] = None,
+    mesh=None,
+) -> Tuple[Dict[TrainingState, SupervisedState], Dict[str, float]]:
+    """Drive the three stages end-to-end for one target modality. Returns the
+    per-stage final states and the last stage's epoch metrics."""
+    from unet_bssfp_tpu.parallel.mesh import make_mesh, shard_batch
+    from unet_bssfp_tpu.train.logging import EarlyStopping, MetricLogger
+
+    config = config or Config()
+    tcfg = config.train
+    mesh = mesh or make_mesh()
+    epochs_per_stage = epochs_per_stage or {}
+    patch = config.data.patch_size
+    key = jax.random.PRNGKey(tcfg.seed)
+
+    states: Dict[TrainingState, SupervisedState] = {}
+    row: Dict[str, float] = {}
+    params = None
+    for stage in (TrainingState.PRETRAIN, TrainingState.TRANSFER,
+                  TrainingState.FINE_TUNE):
+        modality = (
+            "dwi-tensor" if stage == TrainingState.PRETRAIN else target_modality
+        )
+        net = build_multi_input_unet(modality, config.model)
+        key, k_stage = jax.random.split(key)
+        if stage == TrainingState.TRANSFER and params is not None:
+            params = transfer_params(params, net, k_stage, patch)
+        state = create_supervised_state(
+            k_stage, net, tcfg, stage, patch, params=params
+        )
+        train_step = make_supervised_train_step(
+            net, tcfg, stage, state.params, perceptual_fn, mesh
+        )
+        eval_step = make_supervised_eval_step(net, tcfg, perceptual_fn, mesh)
+        logger = MetricLogger(
+            f"{tcfg.log_dir}/multistage-{target_modality}-{stage.value}"
+        )
+        stopper = EarlyStopping("val_loss", patience=tcfg.early_stop_patience)
+        n_epochs = epochs_per_stage.get(stage, tcfg.max_epochs)
+        keys = (modality, "dwi-tensor")
+        epoch_key = jax.random.PRNGKey(tcfg.seed + 17)
+        for epoch in range(n_epochs):
+            epoch_key, k_tr, k_val = jax.random.split(epoch_key, 3)
+            for batch in data.train_batches(k_tr, keys=keys):
+                batch = shard_batch(mesh, batch)
+                state, m = train_step(
+                    state, batch[modality], batch["dwi-tensor_orig"]
+                )
+                logger.log_step(m)
+            for batch in data.val_batches(k_val, keys=keys):
+                batch = shard_batch(mesh, batch)
+                m, _ = eval_step(
+                    state, batch[modality], batch["dwi-tensor_orig"]
+                )
+                logger.log_step(m)
+            row = logger.end_epoch(epoch)
+            if stopper.update(row):
+                break
+        params = state.params
+        states[stage] = state
+    return states, row

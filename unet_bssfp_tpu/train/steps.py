@@ -1,0 +1,266 @@
+"""Jitted GAN train/eval steps.
+
+One ``jit`` contains what the reference spreads over Lightning manual
+optimization (``src/model.py:259-281``), keeping the reference's exact update
+*order and semantics* (SURVEY.md §7 hard parts):
+
+1. Generator phase (``_gen_step``, ``src/model.py:170-181``):
+   ``loss = BCE(D(x, G(x)), 1) + mean(L1, pf*Perceptual) * rf`` → AdamW update
+   of G.
+2. Discriminator phase (``_discr_step``, ``src/model.py:183-193``): the fake
+   is *recomputed with the just-updated generator* and detached (the
+   reference's ``self.gen(x).detach()`` runs after ``gen_optimizer.step()``),
+   ``loss = (BCE(D(x, y), 1) + BCE(D(x, ŷ), 0)) / 2`` → AdamW update of D.
+
+BatchNorm running stats update on every train-mode forward (G twice, D three
+times per step), matching torch module semantics where ``toggle_optimizer``
+only gates gradients, not buffer updates.
+
+Data parallelism: under ``jit`` with a sharded batch and replicated state,
+XLA inserts the gradient all-reduce over the mesh's ``data`` axis — no
+hand-written collectives (the NCCL-DDP equivalent, SURVEY.md §5.8). One
+numerics note: batch-norm moments are then computed over the *global* batch,
+whereas DDP computes per-device moments; per-device parity needs
+``shard_map`` (planned parity mode).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from unet_bssfp_tpu.config import TrainConfig
+from unet_bssfp_tpu.ops.losses import bce_with_logits, l1_loss
+from unet_bssfp_tpu.ops.metrics import mae, psnr, ssim3d
+from unet_bssfp_tpu.train.state import GANTrainState, make_optimizer
+
+PerceptualFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+def _recon_loss(
+    y_hat: jax.Array,
+    y: jax.Array,
+    tcfg: TrainConfig,
+    perceptual_fn: Optional[PerceptualFn],
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """``compute_recon_loss`` (reference ``src/model.py:201-213``): mean of
+    the loss-dict terms (perceptual pre-scaled by ``perceptual_factor``),
+    then scaled by ``recon_factor``."""
+    terms = {"L1": l1_loss(y_hat, y)}
+    if perceptual_fn is not None:
+        terms["Perceptual"] = (
+            perceptual_fn(y_hat, y) * tcfg.perceptual_factor
+        )
+    total = sum(terms.values()) / len(terms) * tcfg.recon_factor
+    return total, terms
+
+
+def make_train_step(
+    gen,
+    disc,
+    tcfg: TrainConfig,
+    perceptual_fn: Optional[PerceptualFn] = None,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build the jitted GAN train step:
+    ``(state, x, y) -> (state, metrics)``.
+
+    ``x``: input-modality patches ``(B, p, p, p, C_in)``; ``y``: the
+    un-augmented DT target (``dwi-tensor_orig`` in train, reference
+    ``src/model.py:195-199``).
+    """
+    opt = make_optimizer(tcfg)
+
+    def step(state: GANTrainState, x: jax.Array, y: jax.Array):
+        rng, k_drop1, k_drop2 = jax.random.split(state.rng, 3)
+
+        # ---- generator phase -------------------------------------------
+        def gen_loss_fn(gen_params):
+            y_hat, gen_mut = gen.apply(
+                {"params": gen_params, "batch_stats": state.gen_batch_stats},
+                x,
+                train=True,
+                rngs={"dropout": k_drop1},
+                mutable=["batch_stats"],
+            )
+            logits, disc_mut = disc.apply(
+                {
+                    "params": state.disc_params,
+                    "batch_stats": state.disc_batch_stats,
+                },
+                x,
+                y_hat,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            adv = bce_with_logits(logits, jnp.ones_like(logits))
+            recon, terms = _recon_loss(
+                y_hat.astype(jnp.float32), y.astype(jnp.float32), tcfg,
+                perceptual_fn,
+            )
+            loss = adv + recon
+            return loss, (adv, recon, terms, gen_mut, disc_mut)
+
+        (gen_loss, aux), gen_grads = jax.value_and_grad(
+            gen_loss_fn, has_aux=True
+        )(state.gen_params)
+        adv, recon, terms, gen_mut, disc_mut = aux
+        gen_updates, gen_opt_state = opt.update(
+            gen_grads, state.gen_opt_state, state.gen_params
+        )
+        gen_params = optax.apply_updates(state.gen_params, gen_updates)
+        gen_bs = gen_mut["batch_stats"]
+        disc_bs = disc_mut["batch_stats"]
+
+        # ---- discriminator phase (updated G, detached fake) ------------
+        y_hat2, gen_mut2 = gen.apply(
+            {"params": gen_params, "batch_stats": gen_bs},
+            x,
+            train=True,
+            rngs={"dropout": k_drop2},
+            mutable=["batch_stats"],
+        )
+        y_hat2 = jax.lax.stop_gradient(y_hat2)
+        gen_bs = gen_mut2["batch_stats"]
+
+        def disc_loss_fn(disc_params):
+            logits_hat, mut1 = disc.apply(
+                {"params": disc_params, "batch_stats": disc_bs},
+                x,
+                y_hat2,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            logits_real, mut2 = disc.apply(
+                {"params": disc_params, "batch_stats": mut1["batch_stats"]},
+                x,
+                y,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            loss_hat = bce_with_logits(
+                logits_hat, jnp.zeros_like(logits_hat)
+            )
+            loss_real = bce_with_logits(
+                logits_real, jnp.ones_like(logits_real)
+            )
+            return (loss_real + loss_hat) / 2.0, mut2
+
+        (disc_loss, disc_mut2), disc_grads = jax.value_and_grad(
+            disc_loss_fn, has_aux=True
+        )(state.disc_params)
+        disc_updates, disc_opt_state = opt.update(
+            disc_grads, state.disc_opt_state, state.disc_params
+        )
+        disc_params = optax.apply_updates(state.disc_params, disc_updates)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            rng=rng,
+            gen_params=gen_params,
+            gen_batch_stats=gen_bs,
+            disc_params=disc_params,
+            disc_batch_stats=disc_mut2["batch_stats"],
+            gen_opt_state=gen_opt_state,
+            disc_opt_state=disc_opt_state,
+        )
+        metrics = {
+            "train_gen_loss": gen_loss,
+            "train_gen_loss_adversarial": adv,
+            "train_gen_loss_recon": recon,
+            "train_discr_loss": disc_loss,
+        }
+        for name, val in terms.items():
+            metrics[f"train_gen_loss_recon_{name}"] = val
+        return new_state, metrics
+
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        bshard = NamedSharding(mesh, P("data"))
+        kwargs["in_shardings"] = (repl, bshard, bshard)
+        kwargs["out_shardings"] = (repl, repl)
+    if donate:
+        kwargs["donate_argnums"] = (0,)
+    return jax.jit(step, **kwargs)
+
+
+def make_eval_step(
+    gen,
+    disc,
+    tcfg: TrainConfig,
+    perceptual_fn: Optional[PerceptualFn] = None,
+    mesh=None,
+    with_metrics: bool = True,
+):
+    """Validation step (reference ``validation_step``,
+    ``src/model.py:283-289``): eval-mode generator loss + quality metrics.
+    Returns ``(metrics, y_hat)``."""
+
+    def step(state: GANTrainState, x: jax.Array, y: jax.Array):
+        y_hat = gen.apply(
+            {"params": state.gen_params,
+             "batch_stats": state.gen_batch_stats},
+            x,
+            train=False,
+        )
+        logits = disc.apply(
+            {"params": state.disc_params,
+             "batch_stats": state.disc_batch_stats},
+            x,
+            y_hat,
+            train=False,
+        )
+        adv = bce_with_logits(logits, jnp.ones_like(logits))
+        y_hat32 = y_hat.astype(jnp.float32)
+        y32 = y.astype(jnp.float32)
+        recon, terms = _recon_loss(y_hat32, y32, tcfg, perceptual_fn)
+        metrics = {
+            "val_loss": adv + recon,
+            "val_gen_loss_adversarial": adv,
+            "val_gen_loss_recon": recon,
+        }
+        for name, val in terms.items():
+            metrics[f"val_gen_loss_recon_{name}"] = val
+        if with_metrics:
+            metrics["val_metric_PSNR"] = jnp.mean(psnr(y_hat32, y32))
+            metrics["val_metric_SSIM"] = jnp.mean(ssim3d(y_hat32, y32))
+            metrics["val_metric_L1"] = jnp.mean(mae(y_hat32, y32))
+        return metrics, y_hat
+
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        bshard = NamedSharding(mesh, P("data"))
+        kwargs["in_shardings"] = (repl, bshard, bshard)
+    return jax.jit(step, **kwargs)
+
+
+def make_predict_fn(gen, mesh=None):
+    """Eval-mode generator forward ``(state, x) -> y_hat`` (the
+    ``predict_step`` inner call, reference ``src/model.py:320``)."""
+
+    def predict(state: GANTrainState, x: jax.Array):
+        return gen.apply(
+            {"params": state.gen_params,
+             "batch_stats": state.gen_batch_stats},
+            x,
+            train=False,
+        )
+
+    kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        bshard = NamedSharding(mesh, P("data"))
+        kwargs["in_shardings"] = (repl, bshard)
+    return jax.jit(predict, **kwargs)

@@ -1,0 +1,4 @@
+from unet_bssfp_tpu.utils.profiling import StepTimer, trace
+from unet_bssfp_tpu.utils.debug import enable_nan_checks, checkify_fn
+
+__all__ = ["StepTimer", "trace", "enable_nan_checks", "checkify_fn"]
