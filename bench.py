@@ -28,6 +28,21 @@ import time
 
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 
+
+def _watchdog(seconds: int):
+    """Hard-exit if the bench wedges (the axon tunnel can hang all compute
+    after an aborted client; better a nonzero exit than a stuck driver)."""
+    import threading
+
+    def boom():
+        log(f"bench watchdog fired after {seconds}s — device hung?")
+        os._exit(3)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    return t
+
 BATCH = 8
 PATCH = 64
 IN_CH = 24
@@ -37,6 +52,21 @@ SAMPLES_PER_VOL = 8
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+def sync(tree):
+    """Force completion by pulling a scalar to host. ``block_until_ready``
+    does NOT actually block over the axon TPU tunnel (measured: a chained
+    8192^3 matmul 'finished' at 160x hardware peak), so all timing here
+    synchronises via device_get."""
+    import jax
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(tree)[-1]
+    # Pull one element, not the whole array — the transfer itself must not
+    # dominate the measurement.
+    scalar = leaf.ravel()[0] if leaf.ndim else leaf
+    return np.asarray(jax.device_get(scalar))
 
 
 # ---------------------------------------------------------------------------
@@ -72,17 +102,17 @@ def measure_jax_train(steps: int = 20, warmup: int = 3) -> dict:
     t0 = time.perf_counter()
     s = state
     s, m = step(s, x, y)
-    jax.block_until_ready(m)
+    sync(m)
     log(f"train step compile+first: {time.perf_counter() - t0:.1f}s")
 
     for _ in range(warmup - 1):
         s, m = step(s, x, y)
-    jax.block_until_ready(m)
+    sync(m)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         s, m = step(s, x, y)
-    jax.block_until_ready(m)
+    sync(m)
     elapsed = time.perf_counter() - t0
     patches_per_sec = BATCH * steps / elapsed
     log(f"jax train: {elapsed/steps*1e3:.1f} ms/step, "
@@ -94,12 +124,12 @@ def measure_jax_train(steps: int = 20, warmup: int = 3) -> dict:
         rng.random((1, 96, 128, 128, IN_CH)).astype(np.float32)
     )
     out = predict(s, vol)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     n_inf = 5
     for _ in range(n_inf):
         out = predict(s, vol)
-    jax.block_until_ready(out)
+        sync(out)
     inf_latency = (time.perf_counter() - t0) / n_inf
     log(f"single-volume inference latency: {inf_latency*1e3:.1f} ms")
 
@@ -109,6 +139,71 @@ def measure_jax_train(steps: int = 20, warmup: int = 3) -> dict:
         "ms_per_step": elapsed / steps * 1e3,
         "inference_latency_s": inf_latency,
     }
+
+
+def measure_aux_configs(steps: int = 10) -> None:
+    """The remaining BASELINE.json configs, reported to stderr:
+    preprocessing pipeline, discriminator+adversarial step, eval
+    relative-error stack."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unet_bssfp_tpu.data.sampler import extract_patches, uniform_patch_starts
+    from unet_bssfp_tpu.data.transforms import crop_or_pad, rescale_intensity
+    from unet_bssfp_tpu.ops.error_maps import relative_error_map, roi_weighted_mean_errors
+    from unet_bssfp_tpu.ops.scalar_maps import compute_scalar_maps
+
+    rng = np.random.default_rng(0)
+
+    # --- preprocessing: crop/pad + rescale + patch extraction -------------
+    raw = jnp.asarray(rng.random((110, 140, 140, IN_CH)).astype(np.float32))
+    lo = jnp.zeros((IN_CH,))
+    hi = jnp.ones((IN_CH,)) * 2267.16
+
+    @jax.jit
+    def preprocess(vol, key):
+        v = crop_or_pad(vol, (96, 128, 128))
+        v = rescale_intensity(v, lo, hi)
+        starts = uniform_patch_starts(key, (96, 128, 128), PATCH, SAMPLES_PER_VOL)
+        return extract_patches(v, starts, PATCH)
+
+    key = jax.random.PRNGKey(0)
+    sync(preprocess(raw, key))
+    t0 = time.perf_counter()
+    for i in range(steps):
+        out = preprocess(raw, jax.random.fold_in(key, i))
+    sync(out)
+    dt = (time.perf_counter() - t0) / steps
+    log(f"preprocess pipeline: {dt*1e3:.2f} ms/volume "
+        f"({1/dt:.1f} volumes/s)")
+
+    # --- eval stack: scalar maps + rel-err + ROI reduction ----------------
+    pred = jnp.asarray(rng.random((96, 128, 128, 6)).astype(np.float32))
+    tgt = jnp.asarray(rng.random((96, 128, 128, 6)).astype(np.float32)) + 0.5
+    mask = jnp.asarray((rng.random((96, 128, 128)) > 0.3).astype(np.float32))
+    probseg = jnp.asarray(rng.random((96, 128, 128, 3)).astype(np.float32))
+
+    @jax.jit
+    def eval_stack(pred, tgt):
+        mp = compute_scalar_maps(pred)
+        mt = compute_scalar_maps(tgt)
+        diff = relative_error_map(pred, tgt)
+        errs = roi_weighted_mean_errors(diff, mask, probseg)
+        fa_err = roi_weighted_mean_errors(
+            relative_error_map(mp.fa, mt.fa)[..., None], mask, probseg
+        )
+        return errs, fa_err
+
+    sync(eval_stack(pred, tgt))
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = eval_stack(pred, tgt)
+    sync(out)
+    dt = (time.perf_counter() - t0) / steps
+    log(f"eval stack (2x scalar maps + rel-err + ROI): {dt*1e3:.2f} "
+        f"ms/volume ({1/dt:.1f} volumes/s) — reference: minutes/volume "
+        f"of per-voxel Python eigh")
 
 
 # ---------------------------------------------------------------------------
@@ -261,9 +356,17 @@ def main():
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--remeasure-baseline", action="store_true")
     parser.add_argument("--skip-baseline", action="store_true")
+    parser.add_argument("--no-aux", action="store_true")
+    parser.add_argument("--watchdog", type=int, default=900)
     args = parser.parse_args()
 
+    _watchdog(args.watchdog)
     jax_result = measure_jax_train(steps=args.steps)
+    if not args.no_aux:
+        try:
+            measure_aux_configs()
+        except Exception as e:  # aux diagnostics must not sink the headline
+            log(f"aux configs failed: {e}")
     if args.skip_baseline:
         baseline = {"volumes_per_sec": float("nan")}
     else:

@@ -1,0 +1,33 @@
+#!/usr/bin/env bash
+# Cluster training launcher — the TPU-pod equivalent of the reference's SLURM
+# script (run.sh: 1 node, exclusive, singularity + srun). On Cloud TPU the
+# scheduler is replaced by per-worker SSH fan-out; JAX's multi-host runtime
+# discovers peers via the TPU metadata service (jax.distributed.initialize
+# needs no arguments on TPU VMs).
+#
+# Usage:
+#   ./scripts/run_train.sh BIDS_DIR [extra train.py args...]
+# Env:
+#   TPU_NAME    (for gcloud fan-out on a pod; unset = run locally)
+#   ZONE        GCE zone for the pod
+#   CONFIG      JSON config path (optional)
+set -euo pipefail
+
+BIDS_DIR=${1:?usage: run_train.sh BIDS_DIR [args...]}
+shift || true
+REPO=$(cd "$(dirname "$0")/.." && pwd)
+ARGS=("$BIDS_DIR" "$@")
+[ -n "${CONFIG:-}" ] && ARGS+=(--config "$CONFIG")
+
+export OMP_NUM_THREADS=1   # host threads belong to the input pipeline
+
+if [ -n "${TPU_NAME:-}" ]; then
+  # Fan out to every worker of the pod slice; each runs the same SPMD program
+  # (jax initializes the global mesh across workers).
+  gcloud compute tpus tpu-vm ssh "$TPU_NAME" \
+    ${ZONE:+--zone "$ZONE"} --worker=all \
+    --command "cd $REPO && PYTHONPATH=$REPO python3 src/train.py ${ARGS[*]}"
+else
+  cd "$REPO"
+  PYTHONPATH="$REPO" python3 src/train.py "${ARGS[@]}"
+fi

@@ -43,6 +43,11 @@ def main() -> None:
     parser.add_argument("--ckpt", default=None, help="resume checkpoint")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--max-epochs", type=int, default=None)
+    parser.add_argument(
+        "--multistage", action="store_true",
+        help="pretrain(autoencoder) -> transfer -> finetune regime "
+        "(MultiInputUNet) instead of direct GAN training",
+    )
     args = parser.parse_args()
 
     config = Config()
@@ -62,15 +67,29 @@ def main() -> None:
     data.prepare_data()
 
     for modality in args.modalities:
-        best = train_model(
-            data,
-            modality,
-            ckpt_path=args.ckpt,
-            debug=args.debug,
-            config=config,
-            max_epochs=args.max_epochs,
-        )
-        print(f"Best checkpoint for {modality}: {best}")
+        if args.multistage:
+            from unet_bssfp_tpu.models.multi_input_unet import TrainingState
+            from unet_bssfp_tpu.train.multistage import run_multistage
+
+            epochs = (
+                {s: args.max_epochs for s in TrainingState}
+                if args.max_epochs
+                else None
+            )
+            _, row = run_multistage(
+                data, modality, config, epochs_per_stage=epochs
+            )
+            print(f"Multi-stage {modality} final metrics: {row}")
+        else:
+            best = train_model(
+                data,
+                modality,
+                ckpt_path=args.ckpt,
+                debug=args.debug,
+                config=config,
+                max_epochs=args.max_epochs,
+            )
+            print(f"Best checkpoint for {modality}: {best}")
 
 
 if __name__ == "__main__":

@@ -82,6 +82,8 @@ class ModelConfig:
     compute_dtype: str = "bfloat16"
     # Use Pallas fused kernels where available (falls back to XLA off-TPU).
     use_pallas: bool = True
+    # Rematerialise U-Net blocks in backward (memory for FLOPs).
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,6 +110,11 @@ class TrainConfig:
     # Mesh axes: data-parallel by default; spatial axis for halo-sharded conv.
     mesh_axes: Tuple[str, ...] = ("data",)
     wandb_project: Optional[str] = None  # e.g. "dove"; None = CSV-only
+    # Build the MedicalNet perceptual term (reference PerceptualL1Loss).
+    with_perceptual: bool = False
+    # Path to a converted Med3D checkpoint (.npz of the torch state dict);
+    # None = deterministic random features (see models.medicalnet).
+    medicalnet_weights: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -123,9 +123,33 @@ def _builtin_save(path: str, data: np.ndarray, affine: np.ndarray) -> None:
             f.write(payload)
 
 
+def _native():
+    try:
+        from unet_bssfp_tpu import native
+
+        if native.is_available():
+            return native
+    except Exception:
+        pass
+    return None
+
+
 def load_volume(path: str, dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
     """Load a NIfTI file → (data ``(D,H,W,C)``, affine ``(4,4)``). 3D volumes
-    gain a singleton channel dim."""
+    gain a singleton channel dim.
+
+    Codec priority: native C++ (GIL-free, see ``unet_bssfp_tpu.native``) →
+    nibabel → builtin pure-Python."""
+    nat = _native()
+    if nat is not None:
+        try:
+            data, affine = nat.read_volume(path)
+            data = data.astype(dtype, copy=False)
+            if data.ndim == 3:
+                data = data[..., None]
+            return data, affine
+        except Exception:
+            pass  # fall through to Python paths (e.g. big-endian files)
     if HAS_NIBABEL:
         img = nib.load(path)
         data = np.asarray(img.dataobj, dtype=dtype)
@@ -146,6 +170,13 @@ def save_volume(
     data = np.asarray(data)
     if data.ndim == 4 and data.shape[-1] == 1:
         data = data[..., 0]
+    nat = _native()
+    if nat is not None:
+        try:
+            nat.write_volume(path, data, np.asarray(affine, np.float64))
+            return
+        except Exception:
+            pass
     if HAS_NIBABEL:
         nib.save(nib.Nifti1Image(data, affine), path)
     else:

@@ -35,6 +35,7 @@ class Generator(nn.Module):
     unet_negative_slope: float = 0.1
     head_negative_slope: float = 0.2
     dtype: Optional[Any] = None
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -57,5 +58,6 @@ class Generator(nn.Module):
             dropout=self.dropout,
             negative_slope=self.unet_negative_slope,
             dtype=self.dtype,
+            remat=self.remat,
             name="unet",
         )(x, train)

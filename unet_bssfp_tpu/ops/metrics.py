@@ -133,24 +133,34 @@ def fid(feats_pred: jax.Array, feats_target: jax.Array) -> jax.Array:
     ``src/model.py:163,257``):
     ``|mu_x - mu_y|^2 + tr(Sx + Sy - 2 (Sx Sy)^{1/2})``.
 
-    TPU-friendly trace-of-sqrtm: ``tr((Sx Sy)^{1/2}) =
-    tr((Sx^{1/2} Sy Sx^{1/2})^{1/2})`` — two symmetric eigendecompositions
-    instead of a nonsymmetric sqrtm.
+    Computed via the exact N x N Gram reduction instead of an F x F sqrtm:
+    with centered features A, B (N x F), the nonzero eigenvalues of
+    ``Sx Sy = (A^T A)(B^T B)/(n-1)^2`` equal those of the PSD matrix
+    ``C^T C/(n-1)^2`` where ``C = B A^T`` (N x N), so
+    ``tr (Sx Sy)^{1/2} = sum(singular values of C)/(n-1)``.
+    For deep-feature batches N << F this is both ~1e6x cheaper and
+    numerically exact where an F x F float32 eigendecomposition of a rank-N
+    covariance produces O(100) phantom mass (identical populations then give
+    FID ~= 0 as they must).
     """
     dtype = jnp.float32
     fx = feats_pred.astype(dtype)
     fy = feats_target.astype(dtype)
+    n = fx.shape[0]
+    denom = jnp.maximum(n - 1, 1)
+    a = fx - jnp.mean(fx, axis=0, keepdims=True)
+    b = fy - jnp.mean(fy, axis=0, keepdims=True)
+
+    tr_sx = jnp.sum(a * a) / denom
+    tr_sy = jnp.sum(b * b) / denom
+    c = b @ a.T  # (N, N)
+    wc = jnp.linalg.eigh(c.T @ c)[0]
+    tr_sqrt = jnp.sum(jnp.sqrt(jnp.clip(wc, 0.0))) / denom
+
     mu_x, mu_y = jnp.mean(fx, axis=0), jnp.mean(fy, axis=0)
-    sx, sy = _cov(fx), _cov(fy)
-
-    wx, vx = jnp.linalg.eigh(sx)
-    sx_half = (vx * jnp.sqrt(jnp.clip(wx, 0.0))) @ vx.T
-    m = sx_half @ sy @ sx_half
-    wm = jnp.linalg.eigh(m)[0]
-    tr_sqrt = jnp.sum(jnp.sqrt(jnp.clip(wm, 0.0)))
-
     diff = mu_x - mu_y
-    return diff @ diff + jnp.trace(sx) + jnp.trace(sy) - 2.0 * tr_sqrt
+    # Mathematically >= 0; clamp away float32 cancellation noise.
+    return jnp.maximum(diff @ diff + tr_sx + tr_sy - 2.0 * tr_sqrt, 0.0)
 
 
 def znorm(volume: jax.Array) -> jax.Array:

@@ -46,7 +46,11 @@ def make_mesh(
 
 
 def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
-    """Shard dim 0 (batch) over the data axis; everything else replicated."""
+    """Shard dim 0 (batch) over the data axis; when the mesh has a ``space``
+    axis, additionally shard the first spatial dim (XLA adds conv halo
+    exchanges)."""
+    if "space" in mesh.axis_names:
+        return NamedSharding(mesh, P(axis, "space"))
     return NamedSharding(mesh, P(axis))
 
 

@@ -24,6 +24,33 @@ from unet_bssfp_tpu.train.state import GANTrainState, build_models, create_gan_s
 from unet_bssfp_tpu.train.steps import make_eval_step, make_train_step
 
 
+def build_perceptual_fn(config: Config):
+    """MedicalNet perceptual distance closure (reference ``PerceptualL1Loss``,
+    ``src/model.py:123-138``), from converted Med3D weights when configured,
+    else deterministic random features."""
+    import numpy as np
+
+    from unet_bssfp_tpu.models.medicalnet import (
+        MedicalNetResNet10,
+        init_medicalnet,
+        load_torch_state_dict,
+        perceptual_distance,
+    )
+
+    path = config.train.medicalnet_weights
+    if path and os.path.exists(path):
+        sd = dict(np.load(path))
+        net = MedicalNetResNet10()
+        variables = load_torch_state_dict(sd)
+    else:
+        net, variables = init_medicalnet(seed=0)
+
+    def perceptual_fn(y_hat, y):
+        return perceptual_distance(net, variables, y_hat, y)
+
+    return perceptual_fn
+
+
 class Trainer:
     def __init__(
         self,
@@ -36,6 +63,8 @@ class Trainer:
         self.config = config
         self.modality = modality
         self.mesh = mesh if mesh is not None else make_mesh()
+        if perceptual_fn is None and config.train.with_perceptual:
+            perceptual_fn = build_perceptual_fn(config)
         self.perceptual_fn = perceptual_fn
         self.debug = debug
         self.gen, self.disc = build_models(modality, config.model)
@@ -91,12 +120,24 @@ class Trainer:
 
         for epoch in range(max_epochs):
             epoch_key, k_train, k_val = jax.random.split(epoch_key, 3)
+            tracing = self.debug and epoch == 0
+            if tracing:
+                jax.profiler.start_trace(
+                    os.path.join(self.config.train.log_dir, "trace")
+                )
+            step_in_epoch = 0
             for batch in data.train_batches(k_train, keys=keys):
                 batch = shard_batch(self.mesh, batch)
                 x = batch[self.modality]
                 y = batch["dwi-tensor_orig"]
                 state, metrics = self.train_step(state, x, y)
                 self.logger.log_step(metrics)
+                step_in_epoch += 1
+                if tracing and step_in_epoch >= 5:
+                    jax.profiler.stop_trace()
+                    tracing = False
+            if tracing:
+                jax.profiler.stop_trace()
             for batch in data.val_batches(k_val, keys=keys):
                 batch = shard_batch(self.mesh, batch)
                 metrics, _ = self.eval_step(

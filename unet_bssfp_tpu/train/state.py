@@ -62,6 +62,7 @@ def build_models(modality: str, mcfg: ModelConfig):
         unet_negative_slope=mcfg.unet_negative_slope,
         head_negative_slope=mcfg.disc_negative_slope,
         dtype=dtype,
+        remat=mcfg.remat,
     )
     disc = Discriminator(
         modality=modality,

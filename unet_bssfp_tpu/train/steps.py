@@ -65,6 +65,7 @@ def make_train_step(
     perceptual_fn: Optional[PerceptualFn] = None,
     mesh=None,
     donate: bool = True,
+    ddp_parity: bool = False,
 ):
     """Build the jitted GAN train step:
     ``(state, x, y) -> (state, metrics)``.
@@ -72,11 +73,31 @@ def make_train_step(
     ``x``: input-modality patches ``(B, p, p, p, C_in)``; ``y``: the
     un-augmented DT target (``dwi-tensor_orig`` in train, reference
     ``src/model.py:195-199``).
+
+    ``ddp_parity`` (requires a mesh): run the step under ``shard_map`` so
+    BatchNorm moments come from the *per-device* batch like the reference's
+    DDP (SURVEY.md §7 hard parts), gradients are ``pmean``-reduced before the
+    optimizer, and running stats are ``pmean``-averaged to keep the state
+    replicated (torch DDP keeps rank-0's stats instead — the one remaining
+    numerics difference). Default mode computes moments over the global batch
+    (better statistics, the recommended TPU path).
     """
     opt = make_optimizer(tcfg)
 
-    def step(state: GANTrainState, x: jax.Array, y: jax.Array):
+    def step(state: GANTrainState, x: jax.Array, y: jax.Array,
+             axis_name: Optional[str] = None):
+        def preduce(tree):
+            if axis_name is None:
+                return tree
+            return jax.tree_util.tree_map(
+                lambda v: jax.lax.pmean(v, axis_name), tree
+            )
         rng, k_drop1, k_drop2 = jax.random.split(state.rng, 3)
+        if axis_name is not None:
+            # Independent dropout masks per replica, like DDP.
+            idx = jax.lax.axis_index(axis_name)
+            k_drop1 = jax.random.fold_in(k_drop1, idx)
+            k_drop2 = jax.random.fold_in(k_drop2, idx)
 
         # ---- generator phase -------------------------------------------
         def gen_loss_fn(gen_params):
@@ -109,6 +130,7 @@ def make_train_step(
             gen_loss_fn, has_aux=True
         )(state.gen_params)
         adv, recon, terms, gen_mut, disc_mut = aux
+        gen_grads = preduce(gen_grads)
         gen_updates, gen_opt_state = opt.update(
             gen_grads, state.gen_opt_state, state.gen_params
         )
@@ -153,6 +175,7 @@ def make_train_step(
         (disc_loss, disc_mut2), disc_grads = jax.value_and_grad(
             disc_loss_fn, has_aux=True
         )(state.disc_params)
+        disc_grads = preduce(disc_grads)
         disc_updates, disc_opt_state = opt.update(
             disc_grads, state.disc_opt_state, state.disc_params
         )
@@ -162,9 +185,9 @@ def make_train_step(
             step=state.step + 1,
             rng=rng,
             gen_params=gen_params,
-            gen_batch_stats=gen_bs,
+            gen_batch_stats=preduce(gen_bs),
             disc_params=disc_params,
-            disc_batch_stats=disc_mut2["batch_stats"],
+            disc_batch_stats=preduce(disc_mut2["batch_stats"]),
             gen_opt_state=gen_opt_state,
             disc_opt_state=disc_opt_state,
         )
@@ -176,19 +199,52 @@ def make_train_step(
         }
         for name, val in terms.items():
             metrics[f"train_gen_loss_recon_{name}"] = val
-        return new_state, metrics
+        return new_state, preduce(metrics)
+
+    if ddp_parity:
+        if mesh is None:
+            raise ValueError("ddp_parity requires a mesh")
+        from functools import partial
+
+        try:
+            from jax import shard_map
+        except ImportError:  # pragma: no cover - older jax
+            from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        sharded = shard_map(
+            partial(step, axis_name="data"),
+            mesh=mesh,
+            in_specs=(P(), P("data"), P("data")),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
+        kwargs = {"donate_argnums": (0,)} if donate else {}
+        return jax.jit(sharded, **kwargs)
 
     kwargs = {}
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        repl = NamedSharding(mesh, P())
-        bshard = NamedSharding(mesh, P("data"))
+        repl, bshard = _mesh_shardings(mesh)
         kwargs["in_shardings"] = (repl, bshard, bshard)
         kwargs["out_shardings"] = (repl, repl)
     if donate:
         kwargs["donate_argnums"] = (0,)
     return jax.jit(step, **kwargs)
+
+
+def _mesh_shardings(mesh):
+    """(replicated, batch) shardings for a mesh. With a ``space`` axis the
+    first spatial dim is sharded too — XLA inserts halo exchanges for the
+    convs automatically (the spatial/context-parallel analogue for this
+    model family, SURVEY.md §5.7)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    if "space" in mesh.axis_names:
+        bshard = NamedSharding(mesh, P("data", "space"))
+    else:
+        bshard = NamedSharding(mesh, P("data"))
+    return repl, bshard
 
 
 def make_eval_step(
@@ -198,10 +254,13 @@ def make_eval_step(
     perceptual_fn: Optional[PerceptualFn] = None,
     mesh=None,
     with_metrics: bool = True,
+    fid_fn: Optional[PerceptualFn] = None,
 ):
     """Validation step (reference ``validation_step``,
-    ``src/model.py:283-289``): eval-mode generator loss + quality metrics.
-    Returns ``(metrics, y_hat)``."""
+    ``src/model.py:283-289``): eval-mode generator loss + quality metrics
+    (PSNR/SSIM/L1, and FID when ``fid_fn`` is given — the reference's
+    MedicalNet FID, ``src/model.py:158-163``; build one with
+    :func:`make_medicalnet_fid_fn`). Returns ``(metrics, y_hat)``."""
 
     def step(state: GANTrainState, x: jax.Array, y: jax.Array):
         y_hat = gen.apply(
@@ -232,16 +291,34 @@ def make_eval_step(
             metrics["val_metric_PSNR"] = jnp.mean(psnr(y_hat32, y32))
             metrics["val_metric_SSIM"] = jnp.mean(ssim3d(y_hat32, y32))
             metrics["val_metric_L1"] = jnp.mean(mae(y_hat32, y32))
+            if fid_fn is not None:
+                metrics["val_metric_FID"] = fid_fn(y_hat32, y32)
         return metrics, y_hat
 
     kwargs = {}
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        repl = NamedSharding(mesh, P())
-        bshard = NamedSharding(mesh, P("data"))
+        repl, bshard = _mesh_shardings(mesh)
         kwargs["in_shardings"] = (repl, bshard, bshard)
     return jax.jit(step, **kwargs)
+
+
+def make_medicalnet_fid_fn(net, variables):
+    """The reference's custom FID (``compute_fid_medicalnet``,
+    ``src/model.py:235-257``): whole-tensor z-norm → per-channel MedicalNet
+    ResNet10 features → spatial average → Frechet distance."""
+    from unet_bssfp_tpu.models.medicalnet import medicalnet_features
+    from unet_bssfp_tpu.ops.metrics import fid, spatial_average, znorm
+
+    def fid_fn(y_hat: jax.Array, y: jax.Array) -> jax.Array:
+        feats_pred = spatial_average(
+            medicalnet_features(net, variables, znorm(y_hat))
+        )
+        feats_tgt = spatial_average(
+            medicalnet_features(net, variables, znorm(y))
+        )
+        return fid(feats_pred, feats_tgt)
+
+    return fid_fn
 
 
 def make_predict_fn(gen, mesh=None):
@@ -258,9 +335,6 @@ def make_predict_fn(gen, mesh=None):
 
     kwargs = {}
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        repl = NamedSharding(mesh, P())
-        bshard = NamedSharding(mesh, P("data"))
+        repl, bshard = _mesh_shardings(mesh)
         kwargs["in_shardings"] = (repl, bshard)
     return jax.jit(predict, **kwargs)

@@ -37,7 +37,10 @@ class StepTimer:
     def time_step(self, fn, *args, **kwargs):
         start = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        # Pull one scalar to host: block_until_ready does not actually block
+        # over tunneled TPU backends (observed on axon), a device_get does.
+        leaf = jax.tree_util.tree_leaves(out)[-1]
+        jax.device_get(leaf.ravel()[0] if leaf.ndim else leaf)
         elapsed = time.perf_counter() - start
         self._count += 1
         if self._count > self.warmup:
