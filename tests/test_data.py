@@ -176,3 +176,22 @@ def test_augment_prob_zero_is_identity(rng):
     vol = jnp.asarray(rng.random((8, 8, 8, 2)).astype(np.float32))
     out = augment.augment_volume(jax.random.PRNGKey(0), vol, prob=0.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(vol))
+
+
+def test_whole_volume_mode(bids_root):
+    dm = DoveDataModule(
+        bids_root,
+        batch_size=2,
+        patch_size=8,
+        volume_shape=(16, 16, 16),
+        num_workers=2,
+        whole_volume=True,
+    )
+    dm.prepare_data()
+    batches = list(dm.train_batches(jax.random.PRNGKey(0),
+                                    keys=("pc-bssfp", "dwi-tensor")))
+    assert batches
+    b = batches[0]
+    assert b["pc-bssfp"].shape == (2, 16, 16, 16, 24)
+    assert b["dwi-tensor_orig"].shape == (2, 16, 16, 16, 6)
+    assert dm.steps_per_epoch("train") == len(dm.train_samples) // 2

@@ -60,6 +60,10 @@ class DataConfig:
     # Augmentation probability per transform (reference
     # src/data_module.py:130-139: each p=0.1).
     augment_prob: float = 0.1
+    # Train on whole (96,128,128) volumes instead of 64³ patches — the TPU
+    # fast path (volumes fit HBM comfortably, SURVEY.md §5.7); patch mode is
+    # the reference-parity default.
+    whole_volume: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

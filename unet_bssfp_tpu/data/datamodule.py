@@ -193,6 +193,8 @@ class DoveDataModule:
                 if "dwi-tensor" in subject:
                     subject = dict(subject)
                     subject["dwi-tensor_orig"] = subject["dwi-tensor"]
+            if cfg.whole_volume:
+                return {k: v[None] for k, v in subject.items()}
             starts = uniform_patch_starts(
                 k_patch, cfg.volume_shape, cfg.patch_size, cfg.samples_per_vol
             )
@@ -217,6 +219,16 @@ class DoveDataModule:
                         buffers[k] = [cat[cfg.batch_size :]]
                     n_buf -= cfg.batch_size
                     yield batch
+            # Final partial batch (torch DataLoader drop_last=False
+            # semantics): emitted at its true size — costs one extra compile
+            # for the remainder shape, but small splits still contribute.
+            if buffers:
+                rest = {
+                    k: jnp.concatenate(blist, axis=0)
+                    for k, blist in buffers.items()
+                }
+                if rest[keys[0]].shape[0] > 0:
+                    yield rest
 
         return PrefetchIterator(gen(), size=2)
 
@@ -248,4 +260,5 @@ class DoveDataModule:
     def steps_per_epoch(self, split: str = "train") -> int:
         cfg = self.config
         n = len(getattr(self, f"{split}_samples"))
-        return (n * cfg.samples_per_vol) // cfg.batch_size
+        per_vol = 1 if cfg.whole_volume else cfg.samples_per_vol
+        return (n * per_vol) // cfg.batch_size

@@ -27,22 +27,42 @@ Dtype = Any
 
 class InstanceNorm(nn.Module):
     """InstanceNorm3d(affine=True) equivalent: per-(sample, channel) moments
-    over spatial dims. eps matches torch's 1e-5."""
+    over spatial dims. eps matches torch's 1e-5.
+
+    ``fused_slope``: apply LeakyReLU(slope) inside the op and use the Pallas
+    fused kernel on TPU (one VMEM pass, ``ops.pallas.fused_norm_act``) —
+    callers must then skip their own activation.
+    """
 
     epsilon: float = 1e-5
     dtype: Optional[Dtype] = None
+    fused_slope: Optional[float] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        axes = tuple(range(1, x.ndim - 1))  # spatial dims of NDHWC
         dtype = self.dtype or x.dtype
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
+
+        if self.fused_slope is not None:
+            if x.ndim == 5 and jax.default_backend() == "tpu":
+                from unet_bssfp_tpu.ops.pallas.fused_norm_act import (
+                    fused_instance_norm_leaky_relu_vjp,
+                )
+
+                return fused_instance_norm_leaky_relu_vjp(
+                    x, scale, bias, self.fused_slope, self.epsilon
+                ).astype(dtype)
+
+        axes = tuple(range(1, x.ndim - 1))  # spatial dims of NDHWC
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=axes, keepdims=True)
         var = jnp.var(xf, axis=axes, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
-        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],))
-        return (y * scale + bias).astype(dtype)
+        y = y * scale + bias
+        if self.fused_slope is not None:
+            y = nn.leaky_relu(y, self.fused_slope)
+        return y.astype(dtype)
 
 
 class ConvBlock(nn.Module):
@@ -87,12 +107,19 @@ class ConvBlock(nn.Module):
 
 class ConvNormAct(nn.Module):
     """One MONAI ``Convolution`` with ADN ordering Norm → Dropout → Act:
-    Conv3d(k=3, p=1) → InstanceNorm(affine) → Dropout(p) → LeakyReLU(0.1)."""
+    Conv3d(k=3, p=1) → InstanceNorm(affine) → Dropout(p) → LeakyReLU(0.1).
+
+    When dropout is inactive (eval, or p=0) the norm+act pair collapses into
+    the fused Pallas kernel (``use_fused``); with dropout active the ADN
+    ordering (dropout sits *between* norm and act) forbids the fusion, so the
+    unfused path runs.
+    """
 
     features: int
     dropout: float = 0.0
     negative_slope: float = 0.1
     dtype: Optional[Dtype] = None
+    use_fused: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -103,9 +130,16 @@ class ConvNormAct(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        dropout_active = self.dropout > 0.0 and train
+        if self.use_fused and not dropout_active:
+            return InstanceNorm(
+                dtype=self.dtype,
+                fused_slope=self.negative_slope,
+                name="norm",
+            )(x)
         x = InstanceNorm(dtype=self.dtype, name="norm")(x)
-        if self.dropout > 0.0:
-            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        if dropout_active:
+            x = nn.Dropout(self.dropout, deterministic=False)(x)
         return nn.leaky_relu(x, self.negative_slope)
 
 

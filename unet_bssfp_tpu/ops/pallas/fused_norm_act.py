@@ -76,6 +76,40 @@ def _pick_c_block(spatial: int, channels: int, itemsize: int) -> Optional[int]:
     return None
 
 
+def fused_instance_norm_leaky_relu_vjp(
+    x: jax.Array,
+    scale: jax.Array,
+    bias: jax.Array,
+    negative_slope: float = 0.1,
+    epsilon: float = 1e-5,
+) -> jax.Array:
+    """Differentiable wrapper: Pallas forward, XLA-reference backward (one
+    recompute — the standard remat trade; the backward chain is dominated by
+    the conv backward anyway)."""
+
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+    def op(x, scale, bias, negative_slope, epsilon):
+        return fused_instance_norm_leaky_relu(
+            x, scale, bias, negative_slope, epsilon
+        )
+
+    def fwd(x, scale, bias, negative_slope, epsilon):
+        return op(x, scale, bias, negative_slope, epsilon), (x, scale, bias)
+
+    def bwd(negative_slope, epsilon, res, g):
+        x, scale, bias = res
+        _, vjp = jax.vjp(
+            lambda x_, s_, b_: instance_norm_leaky_relu_reference(
+                x_, s_, b_, negative_slope, epsilon
+            ),
+            x, scale, bias,
+        )
+        return vjp(g)
+
+    op.defvjp(fwd, bwd)
+    return op(x, scale, bias, negative_slope, epsilon)
+
+
 @functools.partial(
     jax.jit, static_argnames=("negative_slope", "epsilon", "interpret")
 )
@@ -88,12 +122,13 @@ def fused_instance_norm_leaky_relu(
     interpret: bool = False,
 ) -> jax.Array:
     """Fused IN+LeakyReLU on ``(N, D, H, W, C)``; falls back to XLA when the
-    block does not fit VMEM. Differentiable via the XLA path (use inside
-    training only through ``models.layers`` which selects per-shape)."""
+    block does not fit VMEM. For training use
+    :func:`fused_instance_norm_leaky_relu_vjp` (custom VJP)."""
     n, d, h, w, c = x.shape
     spatial = d * h * w
     c_blk = _pick_c_block(spatial, c, x.dtype.itemsize)
-    if c_blk is None:
+    on_tpu = jax.default_backend() == "tpu"
+    if c_blk is None or (not on_tpu and not interpret):
         return instance_norm_leaky_relu_reference(
             x, scale, bias, negative_slope, epsilon
         )

@@ -48,6 +48,13 @@ class CheckpointManager:
 
     def save(self, step: int, state: Any, metrics: Dict[str, float]) -> None:
         metrics = {k: float(v) for k, v in metrics.items()}
+        # Rows may lack the monitored metric (e.g. an epoch whose val split
+        # produced no batches); rank such checkpoints worst instead of
+        # crashing the best_fn.
+        if self.monitor not in metrics:
+            metrics[self.monitor] = (
+                float("inf") if self._mode == "min" else float("-inf")
+            )
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(state),
