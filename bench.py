@@ -105,39 +105,68 @@ def measure_jax_train(steps: int = 20, warmup: int = 3) -> dict:
     sync(m)
     log(f"train step compile+first: {time.perf_counter() - t0:.1f}s")
 
-    for _ in range(warmup - 1):
+    # Probe the host-readback latency: over the tunnel it can be minutes,
+    # in which case optional measurements are skipped to stay inside the
+    # watchdog.
+    t0 = time.perf_counter()
+    sync(m)
+    sync_latency = time.perf_counter() - t0
+    log(f"readback latency: {sync_latency:.2f}s")
+    slow_sync = sync_latency > 10.0
+
+    # Two-point measurement: time (warmup steps + sync) and
+    # (warmup + steps + sync); the difference cancels the constant sync
+    # overhead. Device->host readback over the axon tunnel can cost minutes,
+    # so the measurement must not pay it per sample.
+    t0 = time.perf_counter()
+    for _ in range(warmup):
         s, m = step(s, x, y)
     sync(m)
+    t_short = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    for _ in range(steps):
+    for _ in range(warmup + steps):
         s, m = step(s, x, y)
     sync(m)
-    elapsed = time.perf_counter() - t0
+    t_long = time.perf_counter() - t0
+
+    elapsed = max(t_long - t_short, 1e-6)
     patches_per_sec = BATCH * steps / elapsed
-    log(f"jax train: {elapsed/steps*1e3:.1f} ms/step, "
+    log(f"jax train: {elapsed/steps*1e3:.1f} ms/step "
+        f"(two-point: {t_short:.1f}s vs {t_long:.1f}s), "
         f"{patches_per_sec:.2f} patches/s")
 
-    # Single-volume inference latency (whole-volume fast path, 96x128x128).
-    predict = make_predict_fn(gen)
-    vol = jnp.asarray(
-        rng.random((1, 96, 128, 128, IN_CH)).astype(np.float32)
-    )
-    out = predict(s, vol)
-    sync(out)
-    t0 = time.perf_counter()
-    n_inf = 5
-    for _ in range(n_inf):
+    # Single-volume inference latency (whole-volume fast path, 96x128x128),
+    # same two-point scheme. Skipped when readback is pathologically slow.
+    inf_latency = float("nan")
+    if not slow_sync:
+        predict = make_predict_fn(gen)
+        vol = jnp.asarray(
+            rng.random((1, 96, 128, 128, IN_CH)).astype(np.float32)
+        )
         out = predict(s, vol)
         sync(out)
-    inf_latency = (time.perf_counter() - t0) / n_inf
-    log(f"single-volume inference latency: {inf_latency*1e3:.1f} ms")
+        n_inf = 10
+        t0 = time.perf_counter()
+        out = predict(s, vol)
+        sync(out)
+        t_one = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(1 + n_inf):
+            out = predict(s, vol)
+        sync(out)
+        t_many = time.perf_counter() - t0
+        inf_latency = max(t_many - t_one, 1e-6) / n_inf
+        log(f"single-volume inference latency: {inf_latency*1e3:.1f} ms")
+    else:
+        log("slow readback: skipping inference-latency measurement")
 
     return {
         "patches_per_sec": patches_per_sec,
         "volumes_per_sec": patches_per_sec / SAMPLES_PER_VOL,
         "ms_per_step": elapsed / steps * 1e3,
         "inference_latency_s": inf_latency,
+        "slow_sync": slow_sync,
     }
 
 
@@ -357,12 +386,12 @@ def main():
     parser.add_argument("--remeasure-baseline", action="store_true")
     parser.add_argument("--skip-baseline", action="store_true")
     parser.add_argument("--no-aux", action="store_true")
-    parser.add_argument("--watchdog", type=int, default=900)
+    parser.add_argument("--watchdog", type=int, default=2400)
     args = parser.parse_args()
 
     _watchdog(args.watchdog)
     jax_result = measure_jax_train(steps=args.steps)
-    if not args.no_aux:
+    if not args.no_aux and not jax_result.get("slow_sync"):
         try:
             measure_aux_configs()
         except Exception as e:  # aux diagnostics must not sink the headline

@@ -44,9 +44,35 @@ def main() -> None:
         "--rescale-args", default=None, help="rescale_args_dwi.txt path"
     )
     parser.add_argument("--out-csv", default="relative_errors.csv")
+    parser.add_argument(
+        "--checkpoint",
+        action="append",
+        default=[],
+        metavar="MODALITY=PATH",
+        help="generate predictions first: run test inference for MODALITY "
+        "from the checkpoint at PATH into <pred_path>/<modality> "
+        "(repeatable; the gen_predictions flow, reference "
+        "src/eval.py:326-351)",
+    )
+    parser.add_argument("--config", default=None, help="JSON config path")
     args = parser.parse_args()
 
-    eval_dwi_tensors(args.pred_path, args.rescale_args)
+    if args.checkpoint:
+        from unet_bssfp_tpu.config import Config
+        from unet_bssfp_tpu.data.datamodule import DoveDataModule
+
+        config = Config()
+        if args.config:
+            with open(args.config) as f:
+                config = Config.from_json(f.read())
+        checkpoints = dict(spec.split("=", 1) for spec in args.checkpoint)
+        data = DoveDataModule(args.data_path, config=config.data)
+        data.prepare_data()
+        gen_predictions(
+            data, checkpoints, args.pred_path, args.rescale_args, config
+        )
+    else:
+        eval_dwi_tensors(args.pred_path, args.rescale_args)
     table = calc_error_table(args.pred_path, args.data_path, args.out_csv)
     print(table.to_string())
 

@@ -142,6 +142,69 @@ class bSSFPToDWITensorModel:
         return x, y
 
 
+class MultiInputUNetModel:
+    """Stateful convenience wrapper over :class:`MultiInputUNet` exposing the
+    reference's multi-stage API surface (``src/eval.py:18-19,199`` calls
+    ``model.change_training_state(state, modality)``): holds the current
+    (stage, modality, params) and rebuilds the jitted step/predict functions
+    on state changes, grafting the backbone across modalities."""
+
+    def __init__(self, state: "TrainingState" = None, config: Optional[Config] = None):
+        from unet_bssfp_tpu.models.multi_input_unet import TrainingState as TS
+
+        self.config = config or Config()
+        self.state_enum = state or TS.PRETRAIN
+        self.modality = "dwi-tensor"
+        self.params = None
+        self._build()
+
+    def _build(self):
+        from unet_bssfp_tpu.train.multistage import (
+            build_multi_input_unet,
+            create_supervised_state,
+            make_supervised_eval_step,
+            make_supervised_train_step,
+        )
+
+        self.net = build_multi_input_unet(self.modality, self.config.model)
+        self.sup_state = create_supervised_state(
+            jax.random.PRNGKey(self.config.train.seed),
+            self.net,
+            self.config.train,
+            self.state_enum,
+            self.config.data.patch_size,
+            params=self.params,
+        )
+        self.params = self.sup_state.params
+        self.train_step = make_supervised_train_step(
+            self.net, self.config.train, self.state_enum, self.params
+        )
+        self.eval_step = make_supervised_eval_step(self.net, self.config.train)
+
+    def change_training_state(self, state: "TrainingState", modality: str) -> None:
+        """Switch stage/modality (reference ``src/eval.py:199``): TRANSFER
+        swaps the input head for the new modality and freezes the backbone;
+        FINE_TUNE unfreezes at the reduced lr."""
+        from unet_bssfp_tpu.train.multistage import transfer_params
+
+        old_params = self.params
+        self.state_enum = state
+        if modality != self.modality:
+            self.modality = modality
+            from unet_bssfp_tpu.train.multistage import build_multi_input_unet
+
+            net = build_multi_input_unet(modality, self.config.model)
+            if old_params is not None:
+                self.params = transfer_params(
+                    old_params, net, jax.random.PRNGKey(1),
+                    self.config.data.patch_size,
+                )
+        self._build()
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        return self.net.apply({"params": self.params}, x, train=False)
+
+
 def check_input_shape(volume_shape, strides=(2, 2, 2, 2)) -> None:
     """Validate volume-dim/stride divisibility for the U-Net depth (reference
     ``check_input_shape``, ``src/model.py:95-120`` — rewritten against the
