@@ -73,8 +73,11 @@ def sync(tree):
 # JAX side
 # ---------------------------------------------------------------------------
 
-def measure_jax_train(steps: int = 20, warmup: int = 3) -> dict:
+def measure_jax_train(steps: int = 20, warmup: int = 3,
+                      with_variants: bool = True) -> dict:
     import jax
+
+    jax.config.update("jax_default_prng_impl", "rbg")  # fast dropout masks
     import jax.numpy as jnp
     import numpy as np
 
@@ -135,6 +138,27 @@ def measure_jax_train(steps: int = 20, warmup: int = 3) -> dict:
     log(f"jax train: {elapsed/steps*1e3:.1f} ms/step "
         f"(two-point: {t_short:.1f}s vs {t_long:.1f}s), "
         f"{patches_per_sec:.2f} patches/s")
+
+    if with_variants and not slow_sync:
+        # Diagnostic: the reuse_fake fast mode (documented semantics change).
+        step_fast = make_train_step(
+            gen, disc, tcfg, donate=False, reuse_fake=True
+        )
+        sf, mf = step_fast(state, x, y)
+        sync(mf)
+        t0 = time.perf_counter()
+        for _ in range(warmup):
+            sf, mf = step_fast(sf, x, y)
+        sync(mf)
+        tf1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(warmup + steps):
+            sf, mf = step_fast(sf, x, y)
+        sync(mf)
+        tf2 = time.perf_counter() - t0
+        fast_ms = max(tf2 - tf1, 1e-6) / steps * 1e3
+        log(f"jax train (reuse_fake): {fast_ms:.1f} ms/step "
+            f"({BATCH/fast_ms*1e3:.2f} patches/s)")
 
     # Single-volume inference latency (whole-volume fast path, 96x128x128),
     # same two-point scheme. Skipped when readback is pathologically slow.
@@ -390,7 +414,8 @@ def main():
     args = parser.parse_args()
 
     _watchdog(args.watchdog)
-    jax_result = measure_jax_train(steps=args.steps)
+    jax_result = measure_jax_train(steps=args.steps,
+                                   with_variants=not args.no_aux)
     if not args.no_aux and not jax_result.get("slow_sync"):
         try:
             measure_aux_configs()

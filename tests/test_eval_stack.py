@@ -143,3 +143,25 @@ def test_identity_predictions_have_zero_error(dm, tmp_path):
         data, _ = load_volume(os.path.join(pred_dir, f))
         finite = data[np.isfinite(data)]
         np.testing.assert_allclose(finite, 0.0, atol=1e-5)
+
+
+def test_print_info_and_sample_montage(dm, tmp_path, capsys):
+    """Dataset stats + augmented-slice montage (the reference's visual
+    smoke-checks, src/data_module.py:48-60,205-231)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dm.print_info()
+    printed = capsys.readouterr().out
+    assert "DOVE Dataset" in printed and "Number of samples" in printed
+
+    batch = next(iter(dm.train_batches(jax.random.PRNGKey(0))))
+    k = batch["pc-bssfp"].shape[1] // 2
+    fig, ax = plt.subplots(1, 1)
+    ax.imshow(np.asarray(batch["pc-bssfp"])[0, k, :, :, 0], cmap="gray")
+    out_png = str(tmp_path / "augmentation.png")
+    fig.savefig(out_png)
+    plt.close(fig)
+    assert os.path.getsize(out_png) > 0

@@ -25,16 +25,19 @@ def test_fused_flag_same_params_and_output_off_tpu(rng):
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
 
 
-def test_fused_train_with_dropout_uses_adn_ordering(rng):
-    """With dropout active, fusion is disabled (dropout sits between norm and
-    act) — outputs must match the explicit unfused path bit-for-bit."""
+def test_fused_train_with_dropout_commutes(rng):
+    """Fused path applies dropout after the activation; LeakyReLU's positive
+    homogeneity makes this identical to the ADN ordering up to rounding."""
     x = jnp.asarray(rng.random((2, 8, 8, 8, 6)).astype(np.float32))
     m_fused = ConvNormAct(8, dropout=0.5, use_fused=True)
     m_plain = ConvNormAct(8, dropout=0.5, use_fused=False)
     v = m_fused.init(jax.random.PRNGKey(0), x, train=False)
     y1 = m_fused.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(7)})
     y2 = m_plain.apply(v, x, train=True, rngs={"dropout": jax.random.PRNGKey(7)})
-    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-6)
+    # Dropout actually active in both (same mask, ~half zeros).
+    zeros = (np.asarray(y1) == 0).mean()
+    assert 0.3 < zeros < 0.7
 
 
 def test_fused_vjp_gradients_match_reference(rng):

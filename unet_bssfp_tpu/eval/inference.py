@@ -70,14 +70,19 @@ def predict_volume(
     return agg.stitch(jnp.concatenate(preds, axis=0))
 
 
-def _stitched_metrics(pred: jax.Array, target: jax.Array) -> Dict[str, float]:
+def _stitched_metrics(
+    pred: jax.Array, target: jax.Array, fid_fn=None
+) -> Dict[str, float]:
     p = pred[None].astype(jnp.float32)
     t = target[None].astype(jnp.float32)
-    return {
+    out = {
         "test_metric_PSNR": float(jnp.mean(psnr(p, t))),
         "test_metric_SSIM": float(jnp.mean(ssim3d(p, t))),
         "test_metric_L1": float(jnp.mean(mae(p, t))),
     }
+    if fid_fn is not None:
+        out["test_metric_FID"] = float(fid_fn(p, t))
+    return out
 
 
 def save_predictions(
@@ -126,6 +131,7 @@ def run_test(
     patch_size: Optional[int] = None,
     whole_volume: bool = False,
     save: bool = True,
+    fid_fn=None,
 ) -> Dict[str, float]:
     """Test loop over the held-out volumes (the ``trainer.test`` equivalent,
     reference ``src/model.py:291-313``): grid-stitched prediction per subject,
@@ -148,7 +154,7 @@ def run_test(
             out_channels=y.shape[-1],
             whole_volume=whole_volume,
         )
-        metrics = _stitched_metrics(y_hat, y)
+        metrics = _stitched_metrics(y_hat, y, fid_fn)
         rows.append(metrics)
         if save:
             save_predictions(

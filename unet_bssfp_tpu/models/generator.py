@@ -36,6 +36,7 @@ class Generator(nn.Module):
     head_negative_slope: float = 0.2
     dtype: Optional[Any] = None
     remat: bool = False
+    use_fused: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -59,5 +60,6 @@ class Generator(nn.Module):
             negative_slope=self.unet_negative_slope,
             dtype=self.dtype,
             remat=self.remat,
+            use_fused=self.use_fused,
             name="unet",
         )(x, train)

@@ -109,10 +109,12 @@ class ConvNormAct(nn.Module):
     """One MONAI ``Convolution`` with ADN ordering Norm → Dropout → Act:
     Conv3d(k=3, p=1) → InstanceNorm(affine) → Dropout(p) → LeakyReLU(0.1).
 
-    When dropout is inactive (eval, or p=0) the norm+act pair collapses into
-    the fused Pallas kernel (``use_fused``); with dropout active the ADN
-    ordering (dropout sits *between* norm and act) forbids the fusion, so the
-    unfused path runs.
+    ``use_fused`` collapses the norm+act pair into the fused Pallas kernel
+    and applies dropout *after* the activation. This is mathematically
+    identical to the ADN ordering: LeakyReLU is positively homogeneous
+    (LeakyReLU(a*x) = a*LeakyReLU(x) for a >= 0) and dropout multiplies by a
+    non-negative mask, so dropout and LeakyReLU commute (up to float
+    rounding).
     """
 
     features: int
@@ -131,12 +133,15 @@ class ConvNormAct(nn.Module):
             name="conv",
         )(x)
         dropout_active = self.dropout > 0.0 and train
-        if self.use_fused and not dropout_active:
-            return InstanceNorm(
+        if self.use_fused:
+            x = InstanceNorm(
                 dtype=self.dtype,
                 fused_slope=self.negative_slope,
                 name="norm",
             )(x)
+            if dropout_active:
+                x = nn.Dropout(self.dropout, deterministic=False)(x)
+            return x
         x = InstanceNorm(dtype=self.dtype, name="norm")(x)
         if dropout_active:
             x = nn.Dropout(self.dropout, deterministic=False)(x)
@@ -150,16 +155,17 @@ class TwoConv(nn.Module):
     dropout: float = 0.0
     negative_slope: float = 0.1
     dtype: Optional[Dtype] = None
+    use_fused: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         x = ConvNormAct(
             self.features, self.dropout, self.negative_slope, self.dtype,
-            name="conv_0",
+            self.use_fused, name="conv_0",
         )(x, train)
         x = ConvNormAct(
             self.features, self.dropout, self.negative_slope, self.dtype,
-            name="conv_1",
+            self.use_fused, name="conv_1",
         )(x, train)
         return x
 
@@ -171,13 +177,14 @@ class Down(nn.Module):
     dropout: float = 0.0
     negative_slope: float = 0.1
     dtype: Optional[Dtype] = None
+    use_fused: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
         return TwoConv(
             self.features, self.dropout, self.negative_slope, self.dtype,
-            name="convs",
+            self.use_fused, name="convs",
         )(x, train)
 
 
@@ -194,6 +201,7 @@ class UpCat(nn.Module):
     dropout: float = 0.0
     negative_slope: float = 0.1
     dtype: Optional[Dtype] = None
+    use_fused: bool = True
 
     @nn.compact
     def __call__(
@@ -217,5 +225,5 @@ class UpCat(nn.Module):
         x = jnp.concatenate([skip, x], axis=-1)
         return TwoConv(
             self.features, self.dropout, self.negative_slope, self.dtype,
-            name="convs",
+            self.use_fused, name="convs",
         )(x, train)

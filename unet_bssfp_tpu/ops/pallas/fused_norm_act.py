@@ -17,6 +17,13 @@ Sizing: bf16 needs (D*H*W) * C_BLK * 2B * 2 buffers under the VMEM budget;
 ``fused_instance_norm_leaky_relu`` auto-picks C_BLK and falls back to the XLA
 reference implementation when even C_BLK=128 does not fit (e.g. 96x128x128
 whole volumes) or when not on TPU.
+
+Measured on v5e (batch 8 x 64^3 generator, scripts/perf_experiment.py): the
+kernel matches XLA's own fusion in forward (40.6 vs 40.5 ms — this chain is
+one XLA already fuses well) and the custom-VJP recompute costs ~4% in
+training, so the model flag ``ModelConfig.use_pallas`` defaults to False.
+The kernel is kept as tested infrastructure for shapes/backends where XLA's
+fusion falls short.
 """
 
 from __future__ import annotations

@@ -62,6 +62,8 @@ class Trainer:
     ):
         self.config = config
         self.modality = modality
+        if config.train.rng_impl:
+            jax.config.update("jax_default_prng_impl", config.train.rng_impl)
         self.mesh = mesh if mesh is not None else make_mesh()
         if perceptual_fn is None and config.train.with_perceptual:
             perceptual_fn = build_perceptual_fn(config)
@@ -69,7 +71,8 @@ class Trainer:
         self.debug = debug
         self.gen, self.disc = build_models(modality, config.model)
         self.train_step = make_train_step(
-            self.gen, self.disc, config.train, perceptual_fn, self.mesh
+            self.gen, self.disc, config.train, perceptual_fn, self.mesh,
+            reuse_fake=config.train.reuse_fake,
         )
         self.eval_step = make_eval_step(
             self.gen, self.disc, config.train, perceptual_fn, self.mesh

@@ -63,6 +63,7 @@ def build_models(modality: str, mcfg: ModelConfig):
         head_negative_slope=mcfg.disc_negative_slope,
         dtype=dtype,
         remat=mcfg.remat,
+        use_fused=mcfg.use_pallas,
     )
     disc = Discriminator(
         modality=modality,

@@ -66,9 +66,16 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     ddp_parity: bool = False,
+    reuse_fake: bool = False,
 ):
     """Build the jitted GAN train step:
     ``(state, x, y) -> (state, metrics)``.
+
+    ``reuse_fake``: feed the discriminator the fake produced in the
+    generator phase (detached) instead of re-running the *updated* generator
+    — the common GAN formulation; saves one full generator forward (~15% of
+    the step). Default False = the reference's exact semantics
+    (``src/model.py:184`` runs ``self.gen(x)`` after the generator update).
 
     ``x``: input-modality patches ``(B, p, p, p, C_in)``; ``y``: the
     un-augmented DT target (``dwi-tensor_orig`` in train, reference
@@ -124,12 +131,12 @@ def make_train_step(
                 perceptual_fn,
             )
             loss = adv + recon
-            return loss, (adv, recon, terms, gen_mut, disc_mut)
+            return loss, (adv, recon, terms, gen_mut, disc_mut, y_hat)
 
         (gen_loss, aux), gen_grads = jax.value_and_grad(
             gen_loss_fn, has_aux=True
         )(state.gen_params)
-        adv, recon, terms, gen_mut, disc_mut = aux
+        adv, recon, terms, gen_mut, disc_mut, y_hat1 = aux
         gen_grads = preduce(gen_grads)
         gen_updates, gen_opt_state = opt.update(
             gen_grads, state.gen_opt_state, state.gen_params
@@ -138,16 +145,20 @@ def make_train_step(
         gen_bs = gen_mut["batch_stats"]
         disc_bs = disc_mut["batch_stats"]
 
-        # ---- discriminator phase (updated G, detached fake) ------------
-        y_hat2, gen_mut2 = gen.apply(
-            {"params": gen_params, "batch_stats": gen_bs},
-            x,
-            train=True,
-            rngs={"dropout": k_drop2},
-            mutable=["batch_stats"],
-        )
-        y_hat2 = jax.lax.stop_gradient(y_hat2)
-        gen_bs = gen_mut2["batch_stats"]
+        # ---- discriminator phase (detached fake) -----------------------
+        if reuse_fake:
+            y_hat2 = jax.lax.stop_gradient(y_hat1)
+        else:
+            # Reference semantics: recompute with the *updated* generator.
+            y_hat2, gen_mut2 = gen.apply(
+                {"params": gen_params, "batch_stats": gen_bs},
+                x,
+                train=True,
+                rngs={"dropout": k_drop2},
+                mutable=["batch_stats"],
+            )
+            y_hat2 = jax.lax.stop_gradient(y_hat2)
+            gen_bs = gen_mut2["batch_stats"]
 
         def disc_loss_fn(disc_params):
             logits_hat, mut1 = disc.apply(
@@ -212,13 +223,21 @@ def make_train_step(
             from jax.experimental.shard_map import shard_map
         from jax.sharding import PartitionSpec as P
 
-        sharded = shard_map(
-            partial(step, axis_name="data"),
+        smap_kwargs = dict(
             mesh=mesh,
             in_specs=(P(), P("data"), P("data")),
             out_specs=(P(), P()),
-            check_rep=False,
         )
+        try:
+            sharded = shard_map(
+                partial(step, axis_name="data"),
+                check_vma=False, **smap_kwargs,
+            )
+        except TypeError:  # older jax uses check_rep
+            sharded = shard_map(
+                partial(step, axis_name="data"),
+                check_rep=False, **smap_kwargs,
+            )
         kwargs = {"donate_argnums": (0,)} if donate else {}
         return jax.jit(sharded, **kwargs)
 
