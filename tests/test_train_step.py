@@ -170,3 +170,28 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     best = load_checkpoint(mgr.best_path(), state)
     assert int(best.step) == int(state.step)
     mgr.close()
+
+
+def test_checkpoint_embeds_config(tmp_path, setup):
+    """Hyperparameter embedding (save_hyperparameters equivalent): the config
+    rides with the checkpoint dir and is recoverable from a step path."""
+    from unet_bssfp_tpu.config import Config
+    from unet_bssfp_tpu.train.checkpoint import (
+        CheckpointManager,
+        load_config_for_checkpoint,
+    )
+
+    mesh, gen, disc, state, x, y = setup
+    cfg = Config()
+    mgr = CheckpointManager(
+        str(tmp_path / "ck"), monitor="val_loss", top_k=2,
+        config_json=cfg.to_json(),
+    )
+    mgr.save(0, state, {"val_loss": 1.0})
+    mgr.wait()
+    raw = load_config_for_checkpoint(mgr.best_path())
+    assert raw is not None
+    restored = Config.from_json(raw)
+    assert restored.data.patch_size == cfg.data.patch_size
+    assert restored.train.lr == cfg.train.lr
+    mgr.close()

@@ -339,11 +339,18 @@ def eval_model(
 
     from unet_bssfp_tpu.config import Config
     from unet_bssfp_tpu.eval.inference import run_test
-    from unet_bssfp_tpu.train.checkpoint import load_checkpoint
+    from unet_bssfp_tpu.train.checkpoint import (
+        load_checkpoint,
+        load_config_for_checkpoint,
+    )
     from unet_bssfp_tpu.train.state import build_models, create_gan_state
     from unet_bssfp_tpu.train.steps import make_predict_fn
 
-    config = config or Config()
+    if config is None:
+        # Reconstruct the run's config from the hyperparameters embedded
+        # next to the checkpoint (save_hyperparameters equivalent).
+        saved = load_config_for_checkpoint(checkpoint_path)
+        config = Config.from_json(saved) if saved else Config()
     gen, _ = build_models(modality, config.model)
     state = create_gan_state(
         jax.random.PRNGKey(0), modality, config.model, config.train,

@@ -31,9 +31,17 @@ class CheckpointManager:
         monitor: str = "val_loss",
         mode: str = "min",
         top_k: int = 10,
+        config_json: Optional[str] = None,
     ):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        if config_json is not None:
+            # Hyperparameter embedding (the reference's
+            # ``save_hyperparameters``, src/model.py:149): the config rides
+            # with the checkpoints so a run is reconstructible from its
+            # directory alone.
+            with open(os.path.join(self.directory, "config.json"), "w") as f:
+                f.write(config_json)
         self.monitor = monitor
         self._best_step: Optional[int] = None
         self._best_value: Optional[float] = None
@@ -98,6 +106,46 @@ class CheckpointManager:
 
     def close(self) -> None:
         self._mgr.close()
+
+
+def find_latest_checkpoint(
+    checkpoint_dir: str, modality: Optional[str] = None
+) -> Optional[str]:
+    """Newest step of the newest run under ``checkpoint_dir`` (optionally
+    filtered by modality prefix) — powers ``--ckpt auto`` crash recovery."""
+    root = os.path.abspath(checkpoint_dir)
+    if not os.path.isdir(root):
+        return None
+    runs = sorted(
+        d
+        for d in os.listdir(root)
+        if os.path.isdir(os.path.join(root, d))
+        and (modality is None or d.startswith(modality))
+    )
+    for run in reversed(runs):
+        run_dir = os.path.join(root, run)
+        steps = sorted(
+            (int(s) for s in os.listdir(run_dir) if s.isdigit()),
+            reverse=True,
+        )
+        for step in steps:
+            step_dir = os.path.join(run_dir, str(step))
+            if os.path.isdir(os.path.join(step_dir, "default")):
+                return step_dir
+    return None
+
+
+def load_config_for_checkpoint(path: str) -> Optional[str]:
+    """Find the ``config.json`` saved next to a checkpoint (walks up from an
+    item/step directory to the manager root)."""
+    path = os.path.abspath(path)
+    for _ in range(3):
+        candidate = os.path.join(path, "config.json")
+        if os.path.exists(candidate):
+            with open(candidate) as f:
+                return f.read()
+        path = os.path.dirname(path)
+    return None
 
 
 def load_checkpoint(path: str, state_like: Any) -> Any:

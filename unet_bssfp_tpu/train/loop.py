@@ -87,6 +87,7 @@ class Trainer:
             os.path.join(config.train.checkpoint_dir, run_name),
             monitor=config.train.checkpoint_monitor,
             top_k=config.train.checkpoint_top_k,
+            config_json=config.to_json(),
         )
         self.early_stop = EarlyStopping(
             config.train.early_stop_monitor,
@@ -172,6 +173,17 @@ def train_model(
     start = datetime.datetime.now()
     trainer = Trainer(config, modality, debug=debug)
     state = trainer.init_state()
+    if ckpt_path == "auto":
+        # Crash recovery: resume from the newest checkpoint of the newest
+        # run for this modality (SURVEY §5.3/5.4 — the reference's manual
+        # ckpt_path resume, automated).
+        from unet_bssfp_tpu.train.checkpoint import find_latest_checkpoint
+
+        ckpt_path = find_latest_checkpoint(
+            config.train.checkpoint_dir, modality
+        )
+        if ckpt_path:
+            print(f"Auto-resuming from {ckpt_path}")
     if ckpt_path:
         state = load_checkpoint(ckpt_path, state)
     print(f"Training for modality {modality} started at {start}")
