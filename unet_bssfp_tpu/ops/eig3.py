@@ -97,6 +97,7 @@ def eigh3x3_sym(
     a11: jax.Array,
     a12: jax.Array,
     a22: jax.Array,
+    unroll: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Eigendecomposition of symmetric 3x3 matrices given as 6 component
     arrays of identical shape ``S``.
@@ -104,6 +105,10 @@ def eigh3x3_sym(
     Returns ``(w, v)`` with ``w: S + (3,)`` ascending eigenvalues and
     ``v: S + (3, 3)`` eigenvectors as columns (``v[..., :, k]``), matching
     ``np.linalg.eigh`` up to eigenvector sign.
+
+    ``unroll=False`` runs the sweeps as a ``lax.fori_loop`` — smaller program
+    (needed inside Pallas kernels, where the fully-unrolled form overwhelms
+    the Mosaic compiler); ``True`` lets XLA fuse across sweeps.
     """
     dtype = jnp.result_type(a00.dtype, jnp.float32)
     a = tuple(x.astype(dtype) for x in (a00, a01, a02, a11, a12, a22))
@@ -128,10 +133,20 @@ def eigh3x3_sym(
     zero = jnp.zeros_like(a[0])
     v = (one, zero, zero, zero, one, zero, zero, zero, one)  # row-major I
 
-    for _ in range(_N_SWEEPS):
+    def sweep(carry):
+        a, v = carry
         a, v = _rotate01(a, v)
         a, v = _rotate02(a, v)
         a, v = _rotate12(a, v)
+        return a, v
+
+    if unroll:
+        for _ in range(_N_SWEEPS):
+            a, v = sweep((a, v))
+    else:
+        a, v = jax.lax.fori_loop(
+            0, _N_SWEEPS, lambda _, carry: sweep(carry), (a, v)
+        )
 
     w = [a[0] * scale, a[3] * scale, a[5] * scale]
     cols = [
