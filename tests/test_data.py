@@ -195,3 +195,8 @@ def test_whole_volume_mode(bids_root):
     assert b["pc-bssfp"].shape == (2, 16, 16, 16, 24)
     assert b["dwi-tensor_orig"].shape == (2, 16, 16, 16, 6)
     assert dm.steps_per_epoch("train") == len(dm.train_samples) // 2
+
+
+def test_grid_starts_rejects_small_volume():
+    with pytest.raises(ValueError, match="smaller than patch"):
+        grid_patch_starts((32, 128, 128), 64)

@@ -216,11 +216,14 @@ def random_motion(
         shift = jax.random.uniform(
             keys[t], (3,), minval=-translation, maxval=translation
         )
-        ramp = jnp.exp(
-            -2j
+        # Complex exp does not lower on TPU; build the unit phasor from
+        # real cos/sin.
+        phase = (
+            -2.0
             * jnp.pi
             * (fz * shift[0] + fy * shift[1] + fx * shift[2])
-        ).astype(jnp.complex64)
+        ).astype(jnp.float32)
+        ramp = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
         seg_start = (t + 1) * seg_len
         in_seg = ids >= seg_start
         spec = jnp.where(in_seg, spec0 * ramp, spec)
@@ -242,11 +245,16 @@ _DEFAULT_CHAIN = (
 )
 
 
+@partial(jax.jit, static_argnames=("prob",))
 def augment_volume(
     key: jax.Array, vol: jax.Array, prob: float = 0.1
 ) -> jax.Array:
     """Apply the 7-transform chain, each gated with probability ``prob``
-    (reference: each p=0.1, ``src/data_module.py:130-139``)."""
+    (reference: each p=0.1, ``src/data_module.py:130-139``).
+
+    Jitted: the tunneled TPU backend only implements a subset of ops for
+    *eager* dispatch (several transforms raise UNIMPLEMENTED un-jitted), and
+    one compiled program per volume shape is faster anyway."""
     out = vol
     for i, (_, fn) in enumerate(_DEFAULT_CHAIN):
         key, k_gate, k_t = jax.random.split(key, 3)

@@ -64,6 +64,11 @@ def grid_patch_starts(
     """
     axes = []
     for dim in volume_shape[:3]:
+        if dim < patch_size:
+            raise ValueError(
+                f"volume dim {dim} smaller than patch size {patch_size}; "
+                f"crop_or_pad the volume up or reduce the patch size"
+            )
         starts = list(range(0, dim - patch_size + 1, patch_size))
         last = dim - patch_size
         if starts[-1] != last:
