@@ -200,3 +200,16 @@ def test_whole_volume_mode(bids_root):
 def test_grid_starts_rejects_small_volume():
     with pytest.raises(ValueError, match="smaller than patch"):
         grid_patch_starts((32, 128, 128), 64)
+
+
+def test_volume_cache(bids_root):
+    dm = DoveDataModule(
+        bids_root, volume_shape=(16, 16, 16), num_workers=1,
+        cache_volumes=True,
+    )
+    dm.prepare_data()
+    spec = dm.train_samples[0]
+    v1 = dm.load_subject(spec, keys=("dwi-tensor",))
+    assert dm._volume_cache
+    v2 = dm.load_subject(spec, keys=("dwi-tensor",))
+    assert v2["dwi-tensor"] is v1["dwi-tensor"]  # served from cache

@@ -64,6 +64,10 @@ class DataConfig:
     # fast path (volumes fit HBM comfortably, SURVEY.md §5.7); patch mode is
     # the reference-parity default.
     whole_volume: bool = False
+    # Keep preprocessed volumes in host RAM after first load (skip per-epoch
+    # NIfTI re-reads). ~220MB per paired sample at (96,128,128): right for
+    # small datasets/smoke runs, wrong for the full 1077-sample corpus.
+    cache_volumes: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -71,6 +71,7 @@ class DoveDataModule:
         self.val_samples: List[SampleSpec] = []
         self.test_samples: List[SampleSpec] = []
         self._augment = None
+        self._volume_cache: Dict[str, np.ndarray] = {}
 
     # -- discovery ---------------------------------------------------------
 
@@ -155,13 +156,19 @@ class DoveDataModule:
     def load_subject(
         self, spec: SampleSpec, keys: Sequence[str] = ALL_KEYS
     ) -> Dict[str, np.ndarray]:
-        """Load + crop-or-pad one sample's volumes (host → device-ready)."""
+        """Load + crop-or-pad one sample's volumes (host → device-ready).
+        With ``cache_volumes`` the preprocessed array is kept per path."""
         cfg = self.config
 
         def load_one(key):
-            data, _ = load_volume(spec.path(key))
-            return key, np.asarray(crop_or_pad(jnp.asarray(data),
-                                               cfg.volume_shape))
+            path = spec.path(key)
+            if cfg.cache_volumes and path in self._volume_cache:
+                return key, self._volume_cache[path]
+            data, _ = load_volume(path)
+            out = np.asarray(crop_or_pad(jnp.asarray(data), cfg.volume_shape))
+            if cfg.cache_volumes:
+                self._volume_cache[path] = out
+            return key, out
 
         return dict(parallel_map(load_one, keys, cfg.num_workers))
 
