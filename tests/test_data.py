@@ -213,3 +213,24 @@ def test_volume_cache(bids_root):
     assert dm._volume_cache
     v2 = dm.load_subject(spec, keys=("dwi-tensor",))
     assert v2["dwi-tensor"] is v1["dwi-tensor"]  # served from cache
+
+
+def test_partial_batch_respects_divisor(bids_root):
+    """Mesh-divisible remainders: the final partial batch is rounded down to
+    a multiple of batch_divisor (padded up by repetition when it would
+    vanish), so shard_batch never sees an indivisible dim 0."""
+    dm = DoveDataModule(
+        bids_root, batch_size=4, samples_per_vol=1, patch_size=8,
+        volume_shape=(16, 16, 16), num_workers=1,
+        test_split=0.34, val_split=0.33,
+    )
+    dm.prepare_data()
+    for split_batches in (
+        dm.train_batches(jax.random.PRNGKey(0), keys=("dwi-tensor",),
+                         batch_divisor=4),
+        dm.val_batches(jax.random.PRNGKey(0), keys=("dwi-tensor",),
+                       batch_divisor=4),
+    ):
+        for b in split_batches:
+            assert b["dwi-tensor"].shape[0] % 4 == 0
+            assert b["dwi-tensor"].shape[0] > 0

@@ -50,3 +50,32 @@ def test_python_reads_native_written(tmp_path, rng):
 def test_native_missing_file():
     with pytest.raises(IOError):
         native.read_volume("/nonexistent/file.nii.gz")
+
+
+def test_load_affine_header_only(tmp_path, rng):
+    from unet_bssfp_tpu.data.nifti import load_affine, save_volume
+
+    aff = np.diag([2.0, 2.0, 2.5, 1.0])
+    aff[:3, 3] = [-10, 5, 7]
+    p = str(tmp_path / "aff.nii.gz")
+    save_volume(p, rng.random((4, 4, 4, 2)).astype(np.float32), aff)
+    out = load_affine(p)
+    np.testing.assert_allclose(out, aff, atol=1e-6)
+
+
+def test_builtin_scl_inter_applied(tmp_path):
+    """NIfTI-1 scaling with slope=1, nonzero intercept must be applied."""
+    import gzip
+    import struct
+
+    from unet_bssfp_tpu.data.nifti import _builtin_load, _builtin_save
+
+    x = np.arange(8, dtype=np.float32).reshape(2, 2, 2)
+    p = str(tmp_path / "inter.nii")
+    _builtin_save(p, x, np.eye(4))
+    # Patch scl_inter (offset 116) to -1024 in the written header.
+    raw = bytearray(open(p, "rb").read())
+    struct.pack_into("<f", raw, 116, -1024.0)
+    open(p, "wb").write(bytes(raw))
+    data, _ = _builtin_load(p)
+    np.testing.assert_allclose(data, x - 1024.0)

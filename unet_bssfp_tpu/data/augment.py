@@ -254,12 +254,18 @@ def augment_volume(
 
     Jitted: the tunneled TPU backend only implements a subset of ops for
     *eager* dispatch (several transforms raise UNIMPLEMENTED un-jitted), and
-    one compiled program per volume shape is faster anyway."""
+    one compiled program per volume shape is faster anyway.
+
+    Gating uses ``lax.cond`` so only the taken branch executes — at p=0.1
+    per transform, ``jnp.where`` would pay all four k-space FFT round-trips
+    on every volume and discard ~90% of the work."""
     out = vol
     for i, (_, fn) in enumerate(_DEFAULT_CHAIN):
         key, k_gate, k_t = jax.random.split(key, 3)
         gate = jax.random.uniform(k_gate, ()) < prob
-        out = jnp.where(gate, fn(k_t, out), out)
+        out = jax.lax.cond(
+            gate, lambda v, k=k_t, f=fn: f(k, v), lambda v: v, out
+        )
     return out
 
 

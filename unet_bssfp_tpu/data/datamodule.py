@@ -180,6 +180,7 @@ class DoveDataModule:
         key: jax.Array,
         keys: Sequence[str],
         augment: bool,
+        batch_divisor: int = 1,
     ) -> Iterator[Dict[str, jax.Array]]:
         cfg = self.config
         order = np.asarray(
@@ -229,12 +230,30 @@ class DoveDataModule:
             # Final partial batch (torch DataLoader drop_last=False
             # semantics): emitted at its true size — costs one extra compile
             # for the remainder shape, but small splits still contribute.
+            # Under a mesh, dim 0 must divide the device count: round the
+            # remainder down to a multiple of ``batch_divisor``, padding up
+            # by repetition only when the remainder would vanish entirely.
             if buffers:
                 rest = {
                     k: jnp.concatenate(blist, axis=0)
                     for k, blist in buffers.items()
                 }
-                if rest[keys[0]].shape[0] > 0:
+                n = rest[keys[0]].shape[0]
+                if n > 0 and batch_divisor > 1:
+                    keep = (n // batch_divisor) * batch_divisor
+                    if keep == 0:
+                        reps = -(-batch_divisor // n)
+                        rest = {
+                            k: jnp.tile(
+                                v, (reps,) + (1,) * (v.ndim - 1)
+                            )[:batch_divisor]
+                            for k, v in rest.items()
+                        }
+                        n = batch_divisor
+                    else:
+                        rest = {k: v[:keep] for k, v in rest.items()}
+                        n = keep
+                if n > 0:
                     yield rest
 
         return PrefetchIterator(gen(), size=2)
@@ -243,17 +262,25 @@ class DoveDataModule:
         self,
         key: jax.Array,
         keys: Sequence[str] = ALL_KEYS,
+        batch_divisor: int = 1,
     ) -> Iterator[Dict[str, jax.Array]]:
-        return self._patch_stream(self.train_samples, key, keys, augment=True)
+        return self._patch_stream(
+            self.train_samples, key, keys, augment=True,
+            batch_divisor=batch_divisor,
+        )
 
     def val_batches(
         self,
         key: jax.Array,
         keys: Sequence[str] = ALL_KEYS,
+        batch_divisor: int = 1,
     ) -> Iterator[Dict[str, jax.Array]]:
         # The reference applies the augmentation chain to val too
         # (src/data_module.py:146-147).
-        return self._patch_stream(self.val_samples, key, keys, augment=True)
+        return self._patch_stream(
+            self.val_samples, key, keys, augment=True,
+            batch_divisor=batch_divisor,
+        )
 
     def test_volumes(
         self, keys: Sequence[str] = ALL_KEYS

@@ -84,7 +84,13 @@ def _builtin_load(path: str, dtype=np.float32):
         buf, dtype=np_dtype, count=count, offset=vox_offset
     ).reshape(shape, order="F")
     data = data.astype(dtype)
-    if slope not in (0.0, 1.0) and not np.isnan(slope):
+    # NIfTI-1 scaling: applied unless slope is 0/NaN; a nonzero intercept
+    # matters even at slope 1 (common CT/MR convention).
+    if (
+        not np.isnan(slope)
+        and slope != 0.0
+        and (slope != 1.0 or inter != 0.0)
+    ):
         data = data * slope + inter
     affine = np.eye(4)
     if np.any(srow):
@@ -159,6 +165,35 @@ def load_volume(path: str, dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
     if data.ndim == 3:
         data = data[..., None]
     return data, affine
+
+
+def load_affine(path: str) -> np.ndarray:
+    """Read only the (4,4) affine from a NIfTI header (cheap — no voxel
+    decode)."""
+    nat = _native()
+    if nat is not None:
+        try:
+            import ctypes
+
+            lib = nat._load()
+            dims = (ctypes.c_int64 * 8)()
+            srow = (ctypes.c_double * 12)()
+            datatype = ctypes.c_int()
+            rc = lib.nifti_read_header(
+                path.encode(), dims, srow, ctypes.byref(datatype)
+            )
+            if rc == 0:
+                return nat._affine_from_srow(np.asarray(srow))
+        except Exception:
+            pass
+    if HAS_NIBABEL:
+        return np.asarray(nib.load(path).affine)
+    buf = _read_bytes(path)
+    srow = _parse_header(buf)[6]
+    affine = np.eye(4)
+    if np.any(srow):
+        affine[:3, :] = srow
+    return affine
 
 
 def save_volume(

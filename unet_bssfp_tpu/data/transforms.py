@@ -54,7 +54,9 @@ def rescale_intensity(
 
 def znormalize(volume: jax.Array) -> jax.Array:
     """Whole-volume Z-normalisation (TorchIO ``ZNormalization``)."""
-    return (volume - jnp.mean(volume)) / jnp.std(volume)
+    from unet_bssfp_tpu.ops.metrics import znorm
+
+    return znorm(volume)
 
 
 @partial(jax.jit, static_argnums=(1,))

@@ -241,14 +241,24 @@ def calc_error_table(
     masks, probsegs = _load_masks(data_path, subjects, derivatives)
 
     def work(path):
+        from unet_bssfp_tpu.data.transforms import crop_or_pad
+
         ents = parse_pred_name(path)
         sub = ents["sub"]
         if sub not in masks:
             return None
         data, _ = load_volume(path)
+        spatial = data.shape[:3]
+        mask = masks[sub]
+        probseg = probsegs[sub]
+        # Align raw-grid masks/probsegs to the crop-or-padded prediction
+        # grid (predictions are saved at DataConfig.volume_shape).
+        if tuple(mask.shape[:3]) != tuple(spatial):
+            mask = crop_or_pad(mask[..., None], tuple(spatial))[..., 0]
+            probseg = crop_or_pad(probseg, tuple(spatial))
         errors = np.asarray(
             roi_weighted_mean_errors(
-                jnp.asarray(data), masks[sub], probsegs[sub]
+                jnp.asarray(data), mask, probseg
             )
         )
         if ents["deriv"]:
@@ -362,6 +372,9 @@ def eval_model(
     metrics = run_test(
         predict_fn, state, data, modality, pred_dir,
         patch_size=config.data.patch_size,
+        # Evaluate the way the model was trained: whole-volume models get
+        # whole-volume inference (InstanceNorm moments match training).
+        whole_volume=config.data.whole_volume,
     )
     os.makedirs(pred_dir, exist_ok=True)
     with open(os.path.join(pred_dir, "test_metrics.csv"), "w", newline="") as f:

@@ -25,7 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from unet_bssfp_tpu.data.datamodule import DoveDataModule, SampleSpec
-from unet_bssfp_tpu.data.nifti import save_volume
+from unet_bssfp_tpu.data.nifti import load_affine, save_volume
 from unet_bssfp_tpu.data.sampler import GridAggregator, extract_patches
 from unet_bssfp_tpu.data.bids import parse_entities
 from unet_bssfp_tpu.ops.metrics import mae, psnr, ssim3d
@@ -157,9 +157,15 @@ def run_test(
         metrics = _stitched_metrics(y_hat, y, fid_fn)
         rows.append(metrics)
         if save:
+            # Preserve the target's scanner affine (defect #6 in SURVEY §7).
+            try:
+                affine = load_affine(spec.path("dwi-tensor"))
+            except Exception:
+                affine = None
             save_predictions(
                 out_dir, idx, modality, spec,
                 np.asarray(x), np.asarray(y), np.asarray(y_hat),
+                affine=affine,
             )
     if not rows:
         return {}

@@ -186,8 +186,7 @@ def perceptual_distance(
     → squared difference → sum over feature channels → spatial+batch mean.
     """
 
-    def znorm(v):
-        return (v - jnp.mean(v)) / jnp.std(v)
+    from unet_bssfp_tpu.ops.metrics import znorm
 
     dists = []
     for c in range(pred.shape[-1]):

@@ -81,6 +81,7 @@ class MultiInputUNet(nn.Module):
     features: Tuple[int, ...] = (48, 96, 192, 384, 768, 24)
     dropout: float = 0.05
     dtype: Optional[Any] = None
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -92,6 +93,7 @@ class MultiInputUNet(nn.Module):
             features=self.features,
             dropout=self.dropout,
             dtype=self.dtype,
+            use_fused=self.use_fused,
             name="unet",
         )(h, train)
 

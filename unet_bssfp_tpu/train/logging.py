@@ -42,13 +42,18 @@ class MetricLogger:
                 self._wandb = None
 
     def log_step(self, metrics: Dict[str, float]) -> None:
+        # Keep device arrays as-is: float() here would synchronize the host
+        # on every step and forfeit async dispatch; conversion happens once
+        # per epoch in end_epoch.
         for k, v in metrics.items():
-            self._epoch_acc[k].append(float(v))
+            self._epoch_acc[k].append(v)
 
     def end_epoch(self, epoch: int, extra: Optional[Dict[str, float]] = None
                   ) -> Dict[str, float]:
         row: Dict[str, float] = {
-            k: sum(v) / len(v) for k, v in self._epoch_acc.items() if v
+            k: float(sum(float(x) for x in v) / len(v))
+            for k, v in self._epoch_acc.items()
+            if v
         }
         if extra:
             row.update({k: float(v) for k, v in extra.items()})

@@ -64,7 +64,20 @@ class Trainer:
         self.modality = modality
         if config.train.rng_impl:
             jax.config.update("jax_default_prng_impl", config.train.rng_impl)
-        self.mesh = mesh if mesh is not None else make_mesh()
+        if mesh is None:
+            import math
+
+            n_dev = len(jax.devices())
+            usable = math.gcd(config.data.batch_size, n_dev)
+            if usable != n_dev:
+                print(
+                    f"batch_size {config.data.batch_size} not divisible by "
+                    f"{n_dev} devices; using a {usable}-device mesh "
+                    f"(set batch_size to a multiple of the device count to "
+                    f"use all devices)"
+                )
+            mesh = make_mesh(usable)
+        self.mesh = mesh
         if perceptual_fn is None and config.train.with_perceptual:
             perceptual_fn = build_perceptual_fn(config)
         self.perceptual_fn = perceptual_fn
@@ -130,7 +143,10 @@ class Trainer:
                     os.path.join(self.config.train.log_dir, "trace")
                 )
             step_in_epoch = 0
-            for batch in data.train_batches(k_train, keys=keys):
+            n_dev = self.mesh.devices.size
+            for batch in data.train_batches(
+                k_train, keys=keys, batch_divisor=n_dev
+            ):
                 batch = shard_batch(self.mesh, batch)
                 x = batch[self.modality]
                 y = batch["dwi-tensor_orig"]
@@ -142,7 +158,9 @@ class Trainer:
                     tracing = False
             if tracing:
                 jax.profiler.stop_trace()
-            for batch in data.val_batches(k_val, keys=keys):
+            for batch in data.val_batches(
+                k_val, keys=keys, batch_divisor=n_dev
+            ):
                 batch = shard_batch(self.mesh, batch)
                 metrics, _ = self.eval_step(
                     state, batch[self.modality], batch["dwi-tensor_orig"]

@@ -50,6 +50,7 @@ def build_multi_input_unet(modality: str, mcfg: ModelConfig) -> MultiInputUNet:
         out_channels=mcfg.out_channels,
         dropout=mcfg.dropout,
         dtype=jnp.dtype(mcfg.compute_dtype),
+        use_fused=mcfg.use_pallas,
     )
 
 
@@ -208,11 +209,11 @@ def transfer_params(pretrained_params, target_net: MultiInputUNet, key,
         {"params": key, "dropout": key}, x, train=False
     )["params"]
     out = dict(fresh)
+    # Head names encode their group (head_head6/head_head24), so a plain
+    # name match reuses the backbone always and a head only when the target
+    # modality shares the pretrained head's group.
     for name in fresh:
-        if name in pretrained_params and not name.startswith("head"):
-            out[name] = pretrained_params[name]
-        elif name in pretrained_params and name.startswith("head"):
-            # Same head-group (e.g. dwi-tensor -> t1w): reuse.
+        if name in pretrained_params:
             out[name] = pretrained_params[name]
     return out
 

@@ -84,6 +84,15 @@ def create_gan_state(
 ) -> GANTrainState:
     from unet_bssfp_tpu.config import MODALITY_CHANNELS
 
+    # The PRNG implementation shapes the key arrays inside the state
+    # (threefry (2,) vs rbg (4,)): apply it before any key is created so
+    # checkpoints restore into templates with matching shapes regardless of
+    # which entry point builds the template.
+    if tcfg.rng_impl:
+        jax.config.update("jax_default_prng_impl", tcfg.rng_impl)
+        if isinstance(key, jax.Array) and key.shape == (2,):
+            key = jax.random.PRNGKey(int(key[-1]))
+
     gen, disc = build_models(modality, mcfg)
     in_ch = in_channels or MODALITY_CHANNELS[modality]
     x = jnp.zeros((1, patch_size, patch_size, patch_size, in_ch))
