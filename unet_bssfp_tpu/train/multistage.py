@@ -260,6 +260,15 @@ def run_multistage(
         logger = MetricLogger(
             f"{tcfg.log_dir}/multistage-{target_modality}-{stage.value}"
         )
+        from unet_bssfp_tpu.train.checkpoint import CheckpointManager
+
+        ckpt = CheckpointManager(
+            f"{tcfg.checkpoint_dir}/multistage-{target_modality}-"
+            f"{stage.value}",
+            monitor="val_loss",
+            top_k=tcfg.checkpoint_top_k,
+            config_json=config.to_json(),
+        )
         stopper = EarlyStopping("val_loss", patience=tcfg.early_stop_patience)
         n_epochs = epochs_per_stage.get(stage, tcfg.max_epochs)
         keys = (modality, "dwi-tensor")
@@ -279,8 +288,10 @@ def run_multistage(
                 )
                 logger.log_step(m)
             row = logger.end_epoch(epoch)
+            ckpt.save(epoch, state, row)
             if stopper.update(row):
                 break
+        ckpt.wait()
         params = state.params
         states[stage] = state
     return states, row
