@@ -9,10 +9,13 @@ limit (HTTP 413).
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from bench import log, sync  # noqa: E402
 

@@ -23,11 +23,13 @@ export OMP_NUM_THREADS=1   # host threads belong to the input pipeline
 
 if [ -n "${TPU_NAME:-}" ]; then
   # Fan out to every worker of the pod slice; each runs the same SPMD program
-  # (jax initializes the global mesh across workers).
+  # (jax initializes the global mesh across workers). %q-quote every arg so
+  # paths with spaces survive the ssh command string.
+  printf -v QUOTED_ARGS '%q ' "${ARGS[@]}"
   gcloud compute tpus tpu-vm ssh "$TPU_NAME" \
     ${ZONE:+--zone "$ZONE"} --worker=all \
-    --command "cd $REPO && PYTHONPATH=$REPO python3 src/train.py ${ARGS[*]}"
+    --command "cd $REPO && PYTHONPATH=$REPO python3 src/train.py $QUOTED_ARGS"
 else
-  cd "$REPO"
-  PYTHONPATH="$REPO" python3 src/train.py "${ARGS[@]}"
+  # No cd: a relative BIDS_DIR must resolve against the caller's cwd.
+  PYTHONPATH="$REPO" python3 "$REPO/src/train.py" "${ARGS[@]}"
 fi

@@ -65,6 +65,11 @@ def main() -> None:
         if args.config:
             with open(args.config) as f:
                 config = Config.from_json(f.read())
+        for spec in args.checkpoint:
+            if "=" not in spec:
+                parser.error(
+                    f"--checkpoint expects MODALITY=PATH, got {spec!r}"
+                )
         checkpoints = dict(spec.split("=", 1) for spec in args.checkpoint)
         data = DoveDataModule(args.data_path, config=config.data)
         data.prepare_data()

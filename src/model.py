@@ -181,12 +181,23 @@ class MultiInputUNetModel:
         )
         self.eval_step = make_supervised_eval_step(self.net, self.config.train)
 
+    def step(self, x: jax.Array, y: jax.Array):
+        """Run one training step, absorbing the new state into the wrapper
+        (the functional ``train_step`` returns state; this keeps
+        ``self.params`` current so ``change_training_state`` grafts the
+        *trained* backbone)."""
+        self.sup_state, metrics = self.train_step(self.sup_state, x, y)
+        self.params = self.sup_state.params
+        return metrics
+
     def change_training_state(self, state: "TrainingState", modality: str) -> None:
         """Switch stage/modality (reference ``src/eval.py:199``): TRANSFER
         swaps the input head for the new modality and freezes the backbone;
-        FINE_TUNE unfreezes at the reduced lr."""
+        FINE_TUNE unfreezes at the reduced lr. Carries the current (trained)
+        parameters across the switch."""
         from unet_bssfp_tpu.train.multistage import transfer_params
 
+        self.params = self.sup_state.params
         old_params = self.params
         self.state_enum = state
         if modality != self.modality:

@@ -35,9 +35,14 @@ def main() -> None:
         "--rescale-args", default=None,
         help="rescale_args_dwi.txt to de-normalise before scalar maps",
     )
-    parser.add_argument(
+    mode = parser.add_mutually_exclusive_group()
+    mode.add_argument(
         "--patch", action="store_true",
-        help="grid-stitched patch inference instead of whole-volume",
+        help="force grid-stitched patch inference",
+    )
+    mode.add_argument(
+        "--whole-volume", action="store_true",
+        help="force whole-volume inference",
     )
     args = parser.parse_args()
 
@@ -62,8 +67,30 @@ def main() -> None:
         saved = load_config_for_checkpoint(args.checkpoint)
         config = Config.from_json(saved) if saved else Config()
 
+    # Default to the mode the checkpoint was trained with: patch-trained
+    # models get patch-stitched inference so InstanceNorm moments match
+    # training (same rule as eval_model).
+    if args.patch:
+        whole_volume = False
+    elif args.whole_volume:
+        whole_volume = True
+    else:
+        whole_volume = config.data.whole_volume
+
     data, affine = load_volume(args.input)
     vol = crop_or_pad(jnp.asarray(data), config.data.volume_shape)
+    # crop_or_pad shifts the voxel grid: carry the shift into the affine so
+    # the prediction stays registered to the source.
+    # Matches crop_or_pad: crop start (cur-tgt)//2 for crop, -(tgt-cur)//2
+    # for pad (floor semantics differ for odd differences).
+    def _offset(cur, tgt):
+        return (cur - tgt) // 2 if cur >= tgt else -((tgt - cur) // 2)
+
+    offset = [
+        _offset(data.shape[i], config.data.volume_shape[i]) for i in range(3)
+    ]
+    affine = np.asarray(affine, np.float64).copy()
+    affine[:3, 3] += affine[:3, :3] @ np.asarray(offset, np.float64)
 
     gen, _ = build_models(args.modality, config.model)
     state = create_gan_state(
@@ -80,11 +107,11 @@ def main() -> None:
         vol,
         patch_size=config.data.patch_size,
         out_channels=config.model.out_channels,
-        whole_volume=not args.patch,
+        whole_volume=whole_volume,
     )
     pred_np = np.asarray(pred, np.float32)
     print(f"inference: {time.perf_counter() - t0:.3f}s "
-          f"({'patch-stitched' if args.patch else 'whole-volume'})")
+          f"({'whole-volume' if whole_volume else 'patch-stitched'})")
 
     os.makedirs(args.out_dir, exist_ok=True)
     base = os.path.basename(args.input).split(".nii")[0]
