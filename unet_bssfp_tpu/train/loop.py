@@ -136,6 +136,7 @@ class Trainer:
             jax.config.update("jax_debug_nans", True)
 
         for epoch in range(max_epochs):
+            epoch_start = datetime.datetime.now()
             epoch_key, k_train, k_val = jax.random.split(epoch_key, 3)
             tracing = self.debug and epoch == 0
             if tracing:
@@ -166,7 +167,10 @@ class Trainer:
                     state, batch[self.modality], batch["dwi-tensor_orig"]
                 )
                 self.logger.log_step(metrics)
-            row = self.logger.end_epoch(epoch)
+            elapsed = (datetime.datetime.now() - epoch_start).total_seconds()
+            row = self.logger.end_epoch(
+                epoch, extra={"epoch_seconds": elapsed}
+            )
             self.ckpt.save(epoch, state, row)
             if self.early_stop.update(row):
                 break
