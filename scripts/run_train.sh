@@ -5,6 +5,13 @@
 # discovers peers via the TPU metadata service (jax.distributed.initialize
 # needs no arguments on TPU VMs).
 #
+# Pod data feeding: with jax.process_count() > 1 every worker loads only its
+# stride-slice of the BIDS sample lists (DataConfig.process_split, on by
+# default) and batch_size is per-process; parallel/mesh.py::shard_batch
+# assembles the per-worker batches into globally-sharded arrays via
+# jax.make_array_from_process_local_data — no worker ever holds the global
+# batch.
+#
 # Usage:
 #   ./scripts/run_train.sh BIDS_DIR [extra train.py args...]
 # Env:

@@ -40,10 +40,12 @@ class PerceptualL1Loss:
     """
 
     def __init__(self, perceptual_factor: float = 1e3, variables=None,
-                 seed: int = 0):
+                 seed: int = 0, weights_path: Optional[str] = None):
+        from unet_bssfp_tpu.models.medicalnet import load_medicalnet
+
         self.perceptual_factor = perceptual_factor
         if variables is None:
-            self.net, self.variables = init_medicalnet(seed)
+            self.net, self.variables = load_medicalnet(weights_path, seed)
         else:
             self.net = MedicalNetResNet10()
             self.variables = variables
@@ -76,7 +78,9 @@ class bSSFPToDWITensorModel:
         perceptual_factor: float = 1e3,
         recon_factor: float = 1e2,
         config: Optional[Config] = None,
-        with_perceptual: bool = False,
+        # The reference always constructs PerceptualL1Loss
+        # (src/model.py:146): perceptual-on is the parity default.
+        with_perceptual: bool = True,
         mesh=None,
     ):
         import dataclasses
@@ -93,7 +97,12 @@ class bSSFPToDWITensorModel:
         self.batch_size = batch_size
         self.gen, self.discr = build_models(input_modality, config.model)
         self.recon_criterion = (
-            PerceptualL1Loss(perceptual_factor) if with_perceptual else None
+            PerceptualL1Loss(
+                perceptual_factor,
+                weights_path=config.train.medicalnet_weights,
+            )
+            if with_perceptual
+            else None
         )
         perceptual_fn = (
             self.recon_criterion.perceptual_fn if with_perceptual else None

@@ -90,6 +90,64 @@ def test_motion_preserves_dc_and_energy_scale(rng):
     assert not np.allclose(out, np.asarray(vol))
 
 
+def test_rotate_trilinear_matches_scipy(rng):
+    """Golden: the on-device trilinear rigid rotation matches
+    scipy.ndimage.rotate (order=1) on the volume interior."""
+    from scipy.ndimage import rotate as sprot
+
+    vol = rng.random((15, 15, 15, 1)).astype(np.float32)
+    # Exact 90° about z: voxel-to-voxel mapping.
+    out = np.asarray(
+        augment.rotate_trilinear(
+            jnp.asarray(vol), jnp.array([np.pi / 2, 0.0, 0.0])
+        )
+    )
+    ref = sprot(vol[..., 0], 90, axes=(1, 2), reshape=False, order=1,
+                mode="nearest")
+    np.testing.assert_allclose(
+        out[2:-2, 2:-2, 2:-2, 0], ref[2:-2, 2:-2, 2:-2], atol=1e-5
+    )
+    # Small angle about y (scipy's sign convention for this plane is
+    # opposite; the augmentation samples symmetrically from U(-a, a)).
+    out = np.asarray(
+        augment.rotate_trilinear(
+            jnp.asarray(vol), jnp.array([0.0, np.deg2rad(7), 0.0])
+        )
+    )
+    ref = sprot(vol[..., 0], -7, axes=(0, 2), reshape=False, order=1,
+                mode="nearest")
+    np.testing.assert_allclose(
+        out[2:-2, 2:-2, 2:-2, 0], ref[2:-2, 2:-2, 2:-2], atol=1e-5
+    )
+    # Zero rotation is the identity.
+    out0 = np.asarray(
+        augment.rotate_trilinear(jnp.asarray(vol), jnp.zeros(3))
+    )
+    np.testing.assert_array_equal(out0, vol)
+
+
+def test_motion_rotation_sensitivity(rng):
+    """Rotations contribute to the motion composite (VERDICT item 6): with
+    translations disabled, nonzero degrees must still alter the volume, and
+    more rotation ⇒ more change."""
+    vol = jnp.asarray(
+        np.cumsum(rng.random((16, 16, 16, 1)), axis=1).astype(np.float32)
+    )
+    key = jax.random.PRNGKey(5)
+    out0 = np.asarray(augment.random_motion(key, vol, degrees=0.0,
+                                            translation=0.0))
+    out_small = np.asarray(augment.random_motion(key, vol, degrees=5.0,
+                                                 translation=0.0))
+    out_large = np.asarray(augment.random_motion(key, vol, degrees=30.0,
+                                                 translation=0.0))
+    # degrees=0, translation=0 ⇒ all segments identical ⇒ identity.
+    np.testing.assert_allclose(out0, np.asarray(vol), atol=1e-4)
+    d_small = np.abs(out_small - np.asarray(vol)).mean()
+    d_large = np.abs(out_large - np.asarray(vol)).mean()
+    assert d_small > 1e-5, "rotation had no effect"
+    assert d_large > d_small
+
+
 def test_subject_level_same_params_across_images(rng):
     """TorchIO subject semantics: the same sampled transform applies to every
     image of the subject — two identical volumes must stay identical after

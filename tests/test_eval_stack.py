@@ -56,10 +56,18 @@ def _identity_predict(state, x):
 def test_parse_pred_name():
     ents = parse_pred_name("pred-3_mod-pc-bssfp_sub-01_ses-2_fa.nii.gz")
     assert ents == {"kind": "pred", "idx": "3", "mod": "pc-bssfp",
-                    "sub": "01", "ses": "2", "deriv": "fa"}
+                    "time": None, "sub": "01", "ses": "2", "deriv": "fa"}
     ents = parse_pred_name("target-0_mod-dwi-tensor_sub-01_ses-1.nii.gz")
     assert ents["deriv"] == ""
     assert parse_pred_name("garbage.nii.gz") is None
+    # Timestamped save_predictions names must not fold the timestamp into
+    # `mod` (VERDICT round-1 weak #6).
+    ents = parse_pred_name(
+        "pred-3_mod-pc-bssfp_20260816-141503_sub-01_ses-2_md.nii.gz"
+    )
+    assert ents["mod"] == "pc-bssfp"
+    assert ents["time"] == "20260816-141503"
+    assert ents["deriv"] == "md"
 
 
 def test_predict_volume_patch_vs_whole(rng):

@@ -68,6 +68,11 @@ class DataConfig:
     # NIfTI re-reads). ~220MB per paired sample at (96,128,128): right for
     # small datasets/smoke runs, wrong for the full 1077-sample corpus.
     cache_volumes: bool = False
+    # Multi-host (TPU pod): each process loads only its stride-slice of the
+    # sample lists and batch_size becomes per-process (shard_batch assembles
+    # global arrays via make_array_from_process_local_data). No effect when
+    # jax.process_count() == 1.
+    process_split: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,6 +93,9 @@ class ModelConfig:
     # Compute dtype: "bfloat16" for TPU speed-of-light, "float32" for parity
     # with the reference's fp32 training (src/train.py:33).
     compute_dtype: str = "bfloat16"
+    # MultiInputUNet (multi-stage regime) backbone widths; None = thesis
+    # defaults (48, 96, 192, 384, 768, 24) (doc/thesis/03-methods.tex).
+    multistage_features: Optional[Tuple[int, ...]] = None
     # Use the Pallas fused InstanceNorm+LeakyReLU kernel in the generator.
     # Measured on v5e: neutral in forward (XLA fuses the chain equally well)
     # and ~4% slower in training (the custom-VJP recompute) — so off by
@@ -122,8 +130,11 @@ class TrainConfig:
     # Mesh axes: data-parallel by default; spatial axis for halo-sharded conv.
     mesh_axes: Tuple[str, ...] = ("data",)
     wandb_project: Optional[str] = None  # e.g. "dove"; None = CSV-only
-    # Build the MedicalNet perceptual term (reference PerceptualL1Loss).
-    with_perceptual: bool = False
+    # Build the MedicalNet perceptual term (reference PerceptualL1Loss,
+    # src/model.py:127-146 — the reference ALWAYS trains with it, so True is
+    # the parity default; random features until converted weights are
+    # provided via `medicalnet_weights`).
+    with_perceptual: bool = True
     # Fast GAN step: feed the discriminator the generator-phase fake
     # (detached) instead of re-running the updated generator — measured 27%
     # faster per step; False = reference-exact semantics.

@@ -10,9 +10,9 @@ is preserved) implemented by :func:`augment_subject`.
 Exact RNG parity with TorchIO is impossible (different generators); parity is
 distributional (SURVEY.md §7 hard parts): parameter ranges and artifact models
 follow TorchIO's definitions. The k-space transforms (spike/ghosting/motion)
-use ``jnp.fft`` on device; motion approximates TorchIO's rigid-composite model
-with k-space-exact translations (phase ramps) — rotations are a planned
-refinement.
+use ``jnp.fft`` on device; motion follows TorchIO's rigid-composite model —
+per-segment rotations via trilinear resampling plus k-space-exact
+translations (phase ramps).
 
 All transforms take/return a channels-last ``(D, H, W, C)`` volume and are
 jit-compatible (no data-dependent shapes; probability gating uses
@@ -189,17 +189,69 @@ def random_ghosting(
     return _ifft3(spec)
 
 
+def _euler_matrix(angles: jax.Array) -> jax.Array:
+    """Rotation matrix from Euler angles (radians) about the volume axes
+    (z, y, x order — matching SimpleITK's Euler3D used by TorchIO)."""
+    cz, sz = jnp.cos(angles[0]), jnp.sin(angles[0])
+    cy, sy = jnp.cos(angles[1]), jnp.sin(angles[1])
+    cx, sx = jnp.cos(angles[2]), jnp.sin(angles[2])
+    rz = jnp.array([[1, 0, 0], [0, cz, -sz], [0, sz, cz]])
+    ry = jnp.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+    rx = jnp.array([[cx, -sx, 0], [sx, cx, 0], [0, 0, 1]])
+    return rz @ ry @ rx
+
+
+def rotate_trilinear(vol: jax.Array, angles: jax.Array) -> jax.Array:
+    """Rigid rotation of a ``(D, H, W, C)`` volume about its centre, trilinear
+    interpolation, edge-clamped sampling (a jit-friendly gather — the
+    on-device replacement for the scipy/SimpleITK resample TorchIO calls)."""
+    d, h, w = vol.shape[:3]
+    rot = _euler_matrix(angles)
+    centre = (jnp.array([d, h, w], jnp.float32) - 1.0) / 2.0
+    zz, yy, xx = jnp.meshgrid(
+        jnp.arange(d, dtype=jnp.float32),
+        jnp.arange(h, dtype=jnp.float32),
+        jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    coords = jnp.stack([zz, yy, xx], axis=-1) - centre  # (D, H, W, 3)
+    # Inverse mapping: source = R⁻¹ · (target - c) + c; R orthonormal ⇒ Rᵀ.
+    src = coords @ rot + centre  # (coords @ rot) == (rot.T @ coords.T).T
+    lo = jnp.floor(src)
+    frac = src - lo
+    lo = lo.astype(jnp.int32)
+
+    def clamp(idx, n):
+        return jnp.clip(idx, 0, n - 1)
+
+    out = jnp.zeros_like(vol)
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                zi = clamp(lo[..., 0] + dz, d)
+                yi = clamp(lo[..., 1] + dy, h)
+                xi = clamp(lo[..., 2] + dx, w)
+                wz = frac[..., 0] if dz else 1.0 - frac[..., 0]
+                wy = frac[..., 1] if dy else 1.0 - frac[..., 1]
+                wx = frac[..., 2] if dx else 1.0 - frac[..., 2]
+                out = out + (wz * wy * wx)[..., None] * vol[zi, yi, xi, :]
+    return out
+
+
 def random_motion(
     key: jax.Array,
     vol: jax.Array,
+    degrees: float = 10.0,
     translation: float = 10.0,
     num_transforms: int = 2,
 ) -> jax.Array:
-    """Motion artifact (tio ``RandomMotion``-inspired): compose the k-spaces
-    of ``num_transforms`` translated copies of the volume, each translation ~
-    U(-t, t) mm (≈voxels at iso resolution). Translation is exact in k-space
-    (linear phase ramp); the composite splits k-space into time segments like
-    TorchIO's model. Rotations are approximated as zero (small-angle regime).
+    """Motion artifact (tio ``RandomMotion``, reference
+    ``src/data_module.py:131``): compose the k-spaces of ``num_transforms``
+    rigidly-moved copies of the volume — rotation ~ U(-degrees, degrees) per
+    Euler axis applied by trilinear resampling, translation ~ U(-t, t) mm
+    (≈voxels at iso resolution) applied exactly in k-space (linear phase
+    ramp). The composite splits k-space into time segments along the
+    phase-encode axis like TorchIO's model.
     """
     keys = jax.random.split(key, num_transforms)
     spec0 = _fft3(vol)
@@ -213,8 +265,15 @@ def random_motion(
     seg_len = d // (num_transforms + 1)
     spec = spec0
     for t in range(num_transforms):
+        k_rot, k_shift = jax.random.split(keys[t])
+        angles = jax.random.uniform(
+            k_rot, (3,),
+            minval=-degrees * jnp.pi / 180.0,
+            maxval=degrees * jnp.pi / 180.0,
+        )
+        spec_t = _fft3(rotate_trilinear(vol, angles))
         shift = jax.random.uniform(
-            keys[t], (3,), minval=-translation, maxval=translation
+            k_shift, (3,), minval=-translation, maxval=translation
         )
         # Complex exp does not lower on TPU; build the unit phasor from
         # real cos/sin.
@@ -226,7 +285,7 @@ def random_motion(
         ramp = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
         seg_start = (t + 1) * seg_len
         in_seg = ids >= seg_start
-        spec = jnp.where(in_seg, spec0 * ramp, spec)
+        spec = jnp.where(in_seg, spec_t * ramp, spec)
     return _ifft3(spec)
 
 

@@ -124,6 +124,15 @@ class DoveDataModule:
         self.train_samples = build(train_subs)
         self.val_samples = build(val_subs)
         self.test_samples = build(test_subs)
+        if cfg.process_split and jax.process_count() > 1:
+            # TPU-pod data feeding: every host loads only its stride-slice of
+            # the (identically ordered, identically seeded) sample lists;
+            # shard_batch assembles the per-process batches into global
+            # arrays (parallel/mesh.py). batch_size is then per-process.
+            pid, pn = jax.process_index(), jax.process_count()
+            self.train_samples = self.train_samples[pid::pn]
+            self.val_samples = self.val_samples[pid::pn]
+            self.test_samples = self.test_samples[pid::pn]
         if not (self.train_samples or self.val_samples or self.test_samples):
             raise ValueError(
                 f"no paired samples found under {cfg.data_dir!r} "

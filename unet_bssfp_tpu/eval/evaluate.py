@@ -46,6 +46,8 @@ ROI_NAMES = ("CSF", "GM", "WM")
 
 _NAME_RE = re.compile(
     r"(?P<kind>input|pred|target|diff)-(?P<idx>\d+)_mod-(?P<mod>.+?)"
+    # Optional save_predictions timestamp — must not fold into `mod`.
+    r"(?:_(?P<time>\d{8}-\d{6}))?"
     r"_sub-(?P<sub>[^_]+)_ses-(?P<ses>[^_.]+)"
     r"(?P<deriv>(?:_[a-z]+)?)\.nii(?:\.gz)?$"
 )
@@ -341,10 +343,15 @@ def eval_model(
     modality: str,
     pred_dir: str,
     config=None,
+    with_fid: bool = True,
 ) -> Dict[str, float]:
     """Load a checkpoint, run grid-stitched test inference, move predictions
     into ``pred_dir`` (reference ``eval_model``, ``src/eval.py:195-213``),
-    and write ``test_metrics.csv`` for the report tooling."""
+    and write ``test_metrics.csv`` for the report tooling.
+
+    ``with_fid``: log the reference's MedicalNet FID per stitched volume
+    (``test_metric_FID`` column, reference ``src/model.py:235-257,308-309``).
+    """
     import csv
 
     from unet_bssfp_tpu.config import Config
@@ -354,7 +361,7 @@ def eval_model(
         load_config_for_checkpoint,
     )
     from unet_bssfp_tpu.train.state import build_models, create_gan_state
-    from unet_bssfp_tpu.train.steps import make_predict_fn
+    from unet_bssfp_tpu.train.steps import make_medicalnet_fid_fn, make_predict_fn
 
     if config is None:
         # Reconstruct the run's config from the hyperparameters embedded
@@ -368,6 +375,13 @@ def eval_model(
     )
     state = load_checkpoint(checkpoint_path, state)
     predict_fn = make_predict_fn(gen)
+    fid_fn = None
+    if with_fid:
+        from unet_bssfp_tpu.models.medicalnet import load_medicalnet
+
+        fid_fn = make_medicalnet_fid_fn(
+            *load_medicalnet(config.train.medicalnet_weights)
+        )
     data.setup()
     metrics = run_test(
         predict_fn, state, data, modality, pred_dir,
@@ -375,6 +389,7 @@ def eval_model(
         # Evaluate the way the model was trained: whole-volume models get
         # whole-volume inference (InstanceNorm moments match training).
         whole_volume=config.data.whole_volume,
+        fid_fn=fid_fn,
     )
     os.makedirs(pred_dir, exist_ok=True)
     with open(os.path.join(pred_dir, "test_metrics.csv"), "w", newline="") as f:

@@ -55,7 +55,9 @@ class InstanceNorm(nn.Module):
                 ).astype(dtype)
 
         axes = tuple(range(1, x.ndim - 1))  # spatial dims of NDHWC
-        xf = x.astype(jnp.float32)
+        # Stats in at-least-f32: f32 for bf16/f32 activations (the production
+        # paths), f64 preserved so f64 verification runs are actually f64.
+        xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
         mean = jnp.mean(xf, axis=axes, keepdims=True)
         var = jnp.var(xf, axis=axes, keepdims=True)
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
@@ -115,6 +117,11 @@ class ConvNormAct(nn.Module):
     (LeakyReLU(a*x) = a*LeakyReLU(x) for a >= 0) and dropout multiplies by a
     non-negative mask, so dropout and LeakyReLU commute (up to float
     rounding).
+
+    ``prelu`` replaces the fixed LeakyReLU slope with a learnable per-channel
+    PReLU slope initialised at ``negative_slope`` (thesis MultiInputUNet uses
+    PReLU, doc/thesis/03-methods.tex Architecture; torch init 0.25). The
+    fused kernel assumes a static slope, so ``prelu`` forces the unfused path.
     """
 
     features: int
@@ -122,6 +129,7 @@ class ConvNormAct(nn.Module):
     negative_slope: float = 0.1
     dtype: Optional[Dtype] = None
     use_fused: bool = True
+    prelu: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -133,7 +141,7 @@ class ConvNormAct(nn.Module):
             name="conv",
         )(x)
         dropout_active = self.dropout > 0.0 and train
-        if self.use_fused:
+        if self.use_fused and not self.prelu:
             x = InstanceNorm(
                 dtype=self.dtype,
                 fused_slope=self.negative_slope,
@@ -145,6 +153,13 @@ class ConvNormAct(nn.Module):
         x = InstanceNorm(dtype=self.dtype, name="norm")(x)
         if dropout_active:
             x = nn.Dropout(self.dropout, deterministic=False)(x)
+        if self.prelu:
+            slope = self.param(
+                "prelu_slope",
+                nn.initializers.constant(self.negative_slope),
+                (self.features,),
+            ).astype(x.dtype)
+            return jnp.where(x >= 0, x, slope * x)
         return nn.leaky_relu(x, self.negative_slope)
 
 
@@ -156,16 +171,17 @@ class TwoConv(nn.Module):
     negative_slope: float = 0.1
     dtype: Optional[Dtype] = None
     use_fused: bool = True
+    prelu: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         x = ConvNormAct(
             self.features, self.dropout, self.negative_slope, self.dtype,
-            self.use_fused, name="conv_0",
+            self.use_fused, self.prelu, name="conv_0",
         )(x, train)
         x = ConvNormAct(
             self.features, self.dropout, self.negative_slope, self.dtype,
-            self.use_fused, name="conv_1",
+            self.use_fused, self.prelu, name="conv_1",
         )(x, train)
         return x
 
@@ -178,13 +194,14 @@ class Down(nn.Module):
     negative_slope: float = 0.1
     dtype: Optional[Dtype] = None
     use_fused: bool = True
+    prelu: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
         return TwoConv(
             self.features, self.dropout, self.negative_slope, self.dtype,
-            self.use_fused, name="convs",
+            self.use_fused, self.prelu, name="convs",
         )(x, train)
 
 
@@ -202,6 +219,7 @@ class UpCat(nn.Module):
     negative_slope: float = 0.1
     dtype: Optional[Dtype] = None
     use_fused: bool = True
+    prelu: bool = False
 
     @nn.compact
     def __call__(
@@ -225,5 +243,5 @@ class UpCat(nn.Module):
         x = jnp.concatenate([skip, x], axis=-1)
         return TwoConv(
             self.features, self.dropout, self.negative_slope, self.dtype,
-            self.use_fused, name="convs",
+            self.use_fused, self.prelu, name="convs",
         )(x, train)

@@ -157,6 +157,18 @@ def load_torch_state_dict(state_dict: Dict[str, np.ndarray]):
     return {"params": params, "batch_stats": batch_stats}
 
 
+def load_medicalnet(weights_path: Optional[str] = None, seed: int = 0):
+    """(module, variables) — from a converted Med3D ``.npz`` checkpoint (see
+    ``tools/convert_medicalnet.py``) when ``weights_path`` exists, else the
+    deterministic random-feature fallback."""
+    import os
+
+    if weights_path and os.path.exists(weights_path):
+        sd = dict(np.load(weights_path))
+        return MedicalNetResNet10(), load_torch_state_dict(sd)
+    return init_medicalnet(seed=seed)
+
+
 def medicalnet_features(
     net: MedicalNetResNet10,
     variables,

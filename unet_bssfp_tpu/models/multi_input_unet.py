@@ -67,12 +67,13 @@ class ResNetHead(nn.Module):
 
 
 class PReLUUNet(BasicUNet3D):
-    """BasicUNet3D variant with the thesis feature widths. PReLU is
-    approximated by LeakyReLU with the PReLU init slope (0.25) — a learnable
-    per-channel slope is a planned refinement."""
+    """BasicUNet3D variant with the thesis feature widths and learnable
+    per-channel PReLU activations (slopes initialised at torch's PReLU
+    default 0.25; thesis 03-methods.tex Architecture)."""
 
     features: Tuple[int, ...] = (48, 96, 192, 384, 768, 24)
     negative_slope: float = 0.25
+    prelu: bool = True
 
 
 class MultiInputUNet(nn.Module):

@@ -38,6 +38,9 @@ class BasicUNet3D(nn.Module):
     remat: bool = False
     # Fused Pallas InstanceNorm+LeakyReLU where legal (see models.layers).
     use_fused: bool = True
+    # Learnable per-channel PReLU slopes (init negative_slope) instead of a
+    # fixed LeakyReLU — the thesis MultiInputUNet activation.
+    prelu: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -53,24 +56,24 @@ class BasicUNet3D(nn.Module):
             upcat = nn.remat(UpCat, static_argnums=(3,))
 
         x0 = two_conv(f[0], self.dropout, self.negative_slope, self.dtype,
-                      self.use_fused, name="conv_0")(x, train)
+                      self.use_fused, self.prelu, name="conv_0")(x, train)
         x1 = down(f[1], self.dropout, self.negative_slope, self.dtype,
-                  self.use_fused, name="down_1")(x0, train)
+                  self.use_fused, self.prelu, name="down_1")(x0, train)
         x2 = down(f[2], self.dropout, self.negative_slope, self.dtype,
-                  self.use_fused, name="down_2")(x1, train)
+                  self.use_fused, self.prelu, name="down_2")(x1, train)
         x3 = down(f[3], self.dropout, self.negative_slope, self.dtype,
-                  self.use_fused, name="down_3")(x2, train)
+                  self.use_fused, self.prelu, name="down_3")(x2, train)
         x4 = down(f[4], self.dropout, self.negative_slope, self.dtype,
-                  self.use_fused, name="down_4")(x3, train)
+                  self.use_fused, self.prelu, name="down_4")(x3, train)
 
         u4 = upcat(f[3], f[4] // 2, self.dropout, self.negative_slope,
-                   self.dtype, self.use_fused, name="upcat_4")(x4, x3, train)
+                   self.dtype, self.use_fused, self.prelu, name="upcat_4")(x4, x3, train)
         u3 = upcat(f[2], f[3] // 2, self.dropout, self.negative_slope,
-                   self.dtype, self.use_fused, name="upcat_3")(u4, x2, train)
+                   self.dtype, self.use_fused, self.prelu, name="upcat_3")(u4, x2, train)
         u2 = upcat(f[1], f[2] // 2, self.dropout, self.negative_slope,
-                   self.dtype, self.use_fused, name="upcat_2")(u3, x1, train)
+                   self.dtype, self.use_fused, self.prelu, name="upcat_2")(u3, x1, train)
         u1 = upcat(f[5], f[1], self.dropout, self.negative_slope,
-                   self.dtype, self.use_fused, name="upcat_1")(u2, x0, train)
+                   self.dtype, self.use_fused, self.prelu, name="upcat_1")(u2, x0, train)
 
         return nn.Conv(
             self.out_channels, kernel_size=(1, 1, 1), dtype=self.dtype,

@@ -59,8 +59,29 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, axis: str = "data"):
-    """Device-put a host batch (pytree of arrays) with dim-0 sharding."""
+    """Place a host batch (pytree of arrays) onto the mesh with dim-0
+    sharding.
+
+    Single-process (one host): a plain ``device_put`` of the global batch.
+
+    Multi-process (TPU pod, ``jax.process_count() > 1``): each process passes
+    its process-LOCAL slice of the batch (its own loader's samples — see
+    ``DoveDataModule`` with ``process_split=True`` and
+    ``scripts/run_train.sh``); the slices are assembled into one global array
+    via ``jax.make_array_from_process_local_data`` without gathering the full
+    batch on any host. The local batch size must be
+    ``global_batch / process_count``.
+    """
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        import numpy as np_
+
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np_.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )

@@ -28,22 +28,12 @@ def build_perceptual_fn(config: Config):
     """MedicalNet perceptual distance closure (reference ``PerceptualL1Loss``,
     ``src/model.py:123-138``), from converted Med3D weights when configured,
     else deterministic random features."""
-    import numpy as np
-
     from unet_bssfp_tpu.models.medicalnet import (
-        MedicalNetResNet10,
-        init_medicalnet,
-        load_torch_state_dict,
+        load_medicalnet,
         perceptual_distance,
     )
 
-    path = config.train.medicalnet_weights
-    if path and os.path.exists(path):
-        sd = dict(np.load(path))
-        net = MedicalNetResNet10()
-        variables = load_torch_state_dict(sd)
-    else:
-        net, variables = init_medicalnet(seed=0)
+    net, variables = load_medicalnet(config.train.medicalnet_weights)
 
     def perceptual_fn(y_hat, y):
         return perceptual_distance(net, variables, y_hat, y)

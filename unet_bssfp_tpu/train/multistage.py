@@ -45,12 +45,16 @@ class SupervisedState:
 
 
 def build_multi_input_unet(modality: str, mcfg: ModelConfig) -> MultiInputUNet:
+    kw = {}
+    if mcfg.multistage_features is not None:
+        kw["features"] = tuple(mcfg.multistage_features)
     return MultiInputUNet(
         modality=modality,
         out_channels=mcfg.out_channels,
         dropout=mcfg.dropout,
         dtype=jnp.dtype(mcfg.compute_dtype),
         use_fused=mcfg.use_pallas,
+        **kw,
     )
 
 
@@ -233,7 +237,14 @@ def run_multistage(
 
     config = config or Config()
     tcfg = config.train
-    mesh = mesh or make_mesh()
+    if mesh is None:
+        # Regular batches are config.data.batch_size; dim 0 must divide the
+        # mesh size (same guard as Trainer.__init__).
+        import math
+
+        mesh = make_mesh(
+            math.gcd(config.data.batch_size, len(jax.devices()))
+        )
     epochs_per_stage = epochs_per_stage or {}
     patch = config.data.patch_size
     key = jax.random.PRNGKey(tcfg.seed)
@@ -273,15 +284,22 @@ def run_multistage(
         n_epochs = epochs_per_stage.get(stage, tcfg.max_epochs)
         keys = (modality, "dwi-tensor")
         epoch_key = jax.random.PRNGKey(tcfg.seed + 17)
+        # A final partial batch must stay divisible by the mesh size or the
+        # P("data") in_shardings reject it (mirrors loop.py's Trainer.fit).
+        n_dev = mesh.devices.size
         for epoch in range(n_epochs):
             epoch_key, k_tr, k_val = jax.random.split(epoch_key, 3)
-            for batch in data.train_batches(k_tr, keys=keys):
+            for batch in data.train_batches(
+                k_tr, keys=keys, batch_divisor=n_dev
+            ):
                 batch = shard_batch(mesh, batch)
                 state, m = train_step(
                     state, batch[modality], batch["dwi-tensor_orig"]
                 )
                 logger.log_step(m)
-            for batch in data.val_batches(k_val, keys=keys):
+            for batch in data.val_batches(
+                k_val, keys=keys, batch_divisor=n_dev
+            ):
                 batch = shard_batch(mesh, batch)
                 m, _ = eval_step(
                     state, batch[modality], batch["dwi-tensor_orig"]
