@@ -190,11 +190,12 @@ def blocks(args):
 
         @jax.jit
         def fwd_bwd(p, x, mod=mod):
-            return jax.grad(
-                lambda p: jnp.sum(
-                    mod.apply(p, x, train=False).astype(jnp.float32)
-                )
-            )(p)
+            # sum(y*y): a linear loss lets XLA fold the forward away
+            # (constant cotangent), which silently under-measures.
+            def loss(p):
+                y = mod.apply(p, x, train=False).astype(jnp.float32)
+                return jnp.sum(y * y)
+            return jax.grad(loss)(p)
 
         macs = B * res**3 * 27 * (cin * cout + cout * cout)
         ceiling = min(cout, 128) / 128.0

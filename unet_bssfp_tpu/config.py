@@ -104,6 +104,12 @@ class ModelConfig:
     use_pallas: bool = False
     # Rematerialise U-Net blocks in backward (memory for FLOPs).
     remat: bool = False
+    # Shifted space-to-depth folded layout for the generator's two
+    # full-resolution stages (models.folded_layers): measured ~7% → ~50% of
+    # bf16 peak on those convs on v5e, exact numerics, checkpoint-compatible
+    # param paths. None = auto (True on TPU, False elsewhere — the 16/9 FLOP
+    # blowup only pays for itself where MXU lane padding is the bottleneck).
+    folded: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -37,6 +37,8 @@ class Generator(nn.Module):
     dtype: Optional[Any] = None
     remat: bool = False
     use_fused: bool = True
+    # Folded (shifted space-to-depth) full-res stages — see models.unet.
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -61,5 +63,6 @@ class Generator(nn.Module):
             dtype=self.dtype,
             remat=self.remat,
             use_fused=self.use_fused,
+            folded=self.folded,
             name="unet",
         )(x, train)

@@ -26,6 +26,11 @@ from flax import linen as nn
 from unet_bssfp_tpu.models.layers import Down, TwoConv, UpCat
 
 
+def _can_fold(x: jax.Array) -> bool:
+    """Folding needs even D (for the pool) and even H, W (for 2×2 groups)."""
+    return all(s % 2 == 0 for s in x.shape[1:4])
+
+
 class BasicUNet3D(nn.Module):
     out_channels: int = 6
     features: Tuple[int, ...] = (32, 64, 128, 256, 512, 32)
@@ -41,6 +46,14 @@ class BasicUNet3D(nn.Module):
     # Learnable per-channel PReLU slopes (init negative_slope) instead of a
     # fixed LeakyReLU — the thesis MultiInputUNet activation.
     prelu: bool = False
+    # Run the two full-resolution stages (conv_0 / upcat_1) in the shifted
+    # space-to-depth folded layout (models.folded_layers): 4× the MXU lane
+    # utilisation of the Cout=32 convs for a 16/9 FLOP blowup — measured
+    # ~7% → ~50% of bf16 peak on v5e for the stage. Exact numerics (the
+    # widened kernels carry structural zeros) and identical param paths, so
+    # checkpoints are interchangeable with the unfolded model. Auto-falls
+    # back when spatial dims are odd or ``prelu`` is set.
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -55,10 +68,38 @@ class BasicUNet3D(nn.Module):
             down = nn.remat(Down, static_argnums=(2,))
             upcat = nn.remat(UpCat, static_argnums=(3,))
 
-        x0 = two_conv(f[0], self.dropout, self.negative_slope, self.dtype,
-                      self.use_fused, self.prelu, name="conv_0")(x, train)
-        x1 = down(f[1], self.dropout, self.negative_slope, self.dtype,
-                  self.use_fused, self.prelu, name="down_1")(x0, train)
+        folded = self.folded and not self.prelu and _can_fold(x)
+        if folded:
+            from unet_bssfp_tpu.models.folded_layers import (
+                FoldedTwoConv,
+                FoldedUpCat,
+                PooledConvs,
+            )
+            from unet_bssfp_tpu.ops.folded import folded_max_pool2
+
+            f_two_conv, f_upcat, p_convs = (
+                FoldedTwoConv, FoldedUpCat, PooledConvs)
+            if self.remat:
+                f_two_conv = nn.remat(FoldedTwoConv, static_argnums=(2,))
+                f_upcat = nn.remat(FoldedUpCat, static_argnums=(3,))
+                p_convs = nn.remat(PooledConvs, static_argnums=(2,))
+
+            h, w = x.shape[2], x.shape[3]
+            # start_off=0: stage output lands at offset -2 (pad-free for
+            # even dims), which both the pool and the skip consume directly.
+            xf0 = f_two_conv(
+                f[0], self.dropout, self.negative_slope, dtype=self.dtype,
+                start_off=0, name="conv_0")(x, train)
+            x0p = folded_max_pool2(xf0, h, w, 0 - 2)
+            x1 = p_convs(f[1], self.dropout, self.negative_slope,
+                         self.dtype, self.use_fused, self.prelu,
+                         name="down_1")(x0p, train)
+        else:
+            x0 = two_conv(f[0], self.dropout, self.negative_slope,
+                          self.dtype, self.use_fused, self.prelu,
+                          name="conv_0")(x, train)
+            x1 = down(f[1], self.dropout, self.negative_slope, self.dtype,
+                      self.use_fused, self.prelu, name="down_1")(x0, train)
         x2 = down(f[2], self.dropout, self.negative_slope, self.dtype,
                   self.use_fused, self.prelu, name="down_2")(x1, train)
         x3 = down(f[3], self.dropout, self.negative_slope, self.dtype,
@@ -72,8 +113,14 @@ class BasicUNet3D(nn.Module):
                    self.dtype, self.use_fused, self.prelu, name="upcat_3")(u4, x2, train)
         u2 = upcat(f[1], f[2] // 2, self.dropout, self.negative_slope,
                    self.dtype, self.use_fused, self.prelu, name="upcat_2")(u3, x1, train)
-        u1 = upcat(f[5], f[1], self.dropout, self.negative_slope,
-                   self.dtype, self.use_fused, self.prelu, name="upcat_1")(u2, x0, train)
+        if folded:
+            u1 = f_upcat(f[5], f[1], h, w, -2, self.dropout,
+                         self.negative_slope, dtype=self.dtype,
+                         name="upcat_1")(u2, xf0, train)
+        else:
+            u1 = upcat(f[5], f[1], self.dropout, self.negative_slope,
+                       self.dtype, self.use_fused, self.prelu,
+                       name="upcat_1")(u2, x0, train)
 
         return nn.Conv(
             self.out_channels, kernel_size=(1, 1, 1), dtype=self.dtype,

@@ -82,6 +82,30 @@ class MetricLogger:
             writer.writerow({k: float(v) for k, v in row.items()})
         return path
 
+    def log_artifact(
+        self,
+        path: str,
+        name: str,
+        type: str = "model",
+        metadata: Optional[Dict[str, float]] = None,
+    ) -> None:
+        """Push a checkpoint directory/file as a W&B artifact — the
+        ``WandbLogger(log_model='all')`` behaviour (reference
+        ``src/train.py:16-18``). No-op when W&B is not configured."""
+        if self._wandb is None:
+            return
+        try:
+            import wandb
+
+            art = wandb.Artifact(name, type=type, metadata=metadata or {})
+            if os.path.isdir(path):
+                art.add_dir(path)
+            else:
+                art.add_file(path)
+            self._wandb.log_artifact(art)
+        except Exception:
+            pass  # artifact upload must never sink a training run
+
     def finish(self) -> None:
         if self._wandb is not None:
             self._wandb.finish()

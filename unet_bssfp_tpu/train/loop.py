@@ -165,6 +165,15 @@ class Trainer:
             if self.early_stop.update(row):
                 break
         self.ckpt.wait()
+        # W&B model artifacts (reference WandbLogger(log_model='all'),
+        # src/train.py:16-18): push every retained top-k checkpoint.
+        for step_dir in sorted(os.listdir(self.ckpt.directory)):
+            full = os.path.join(self.ckpt.directory, step_dir)
+            if step_dir.isdigit() and os.path.isdir(full):
+                self.logger.log_artifact(
+                    full, name=f"{self.modality}-ckpt-{step_dir}",
+                    type="model",
+                )
         if self.debug:
             jax.config.update("jax_debug_nans", False)
         return state, self.ckpt.best_path()

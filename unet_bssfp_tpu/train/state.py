@@ -53,6 +53,9 @@ def build_models(modality: str, mcfg: ModelConfig):
             f"unknown modality {modality!r}; expected one of {MODALITIES}"
         )
     dtype = jnp.dtype(mcfg.compute_dtype)
+    folded = mcfg.folded
+    if folded is None:
+        folded = jax.default_backend() == "tpu"
     gen = Generator(
         modality=modality,
         unet_in_channels=mcfg.unet_in_channels,
@@ -64,6 +67,7 @@ def build_models(modality: str, mcfg: ModelConfig):
         dtype=dtype,
         remat=mcfg.remat,
         use_fused=mcfg.use_pallas,
+        folded=folded,
     )
     disc = Discriminator(
         modality=modality,
@@ -87,10 +91,18 @@ def create_gan_state(
     # The PRNG implementation shapes the key arrays inside the state
     # (threefry (2,) vs rbg (4,)): apply it before any key is created so
     # checkpoints restore into templates with matching shapes regardless of
-    # which entry point builds the template.
+    # which entry point builds the template. A RAW key minted under a
+    # different global default (its shape mismatches the impl selected here)
+    # is re-seeded from its last word — either direction, so callers that
+    # built their key before this config switch never see a shape error.
     if tcfg.rng_impl:
         jax.config.update("jax_default_prng_impl", tcfg.rng_impl)
-        if isinstance(key, jax.Array) and key.shape == (2,):
+        expected = {"threefry2x32": (2,), "rbg": (4,), "unsafe_rbg": (4,)}
+        want = expected.get(tcfg.rng_impl)
+        is_raw = isinstance(key, jax.Array) and not jax.dtypes.issubdtype(
+            key.dtype, jax.dtypes.prng_key
+        )
+        if is_raw and want is not None and key.shape != want:
             key = jax.random.PRNGKey(int(key[-1]))
 
     gen, disc = build_models(modality, mcfg)
