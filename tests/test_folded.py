@@ -266,6 +266,11 @@ def test_folded_two_conv_grad_parity():
         jax.tree_util.tree_leaves_with_path(g_ref),
         jax.tree_util.tree_leaves_with_path(g_got),
     ):
+        key = jax.tree_util.keystr(kp)
+        # A conv bias followed by InstanceNorm has an exactly-zero true
+        # gradient (the norm subtracts it); autodiff returns cancellation
+        # noise there, so only an absolute bound is meaningful.
+        atol = 2e-2 if key.endswith("['conv']['bias']") else 2e-4
         np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-4,
-            err_msg=jax.tree_util.keystr(kp))
+            np.asarray(b), np.asarray(a), rtol=2e-3, atol=atol,
+            err_msg=key)

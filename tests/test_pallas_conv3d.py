@@ -1,0 +1,144 @@
+"""Correctness of the Pallas packed-w-major 3×3×3 conv (interpret mode, CPU).
+
+Forward, dx, dw and db must match the XLA NDHWC conv and its autodiff to
+float32 tolerance, across the packing factors P = 128/W the kernel supports.
+Reference provenance: these compute the BasicUNet stage convs of the
+reference generator (/root/reference/src/model.py:22-28).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_bssfp_tpu.ops.pallas.conv3d import (
+    conv3x3_packed,
+    conv3x3_reference_packed,
+    pack_hw,
+    packed_supported,
+    unpack_hw,
+)
+
+
+def _mk(shape, key, scale=0.3):
+    return jax.random.normal(jax.random.PRNGKey(key), shape,
+                             jnp.float32) * scale
+
+
+# NDHWC (B, D, H, W, C): covers P = 128/W ∈ {2, 4} with several h-columns.
+SHAPES = [
+    (1, 4, 8, 64, 3),
+    (2, 4, 6, 64, 5),
+    (1, 4, 12, 32, 8),
+    (1, 3, 4, 128, 3),   # P = 1
+]
+
+
+@pytest.mark.parametrize("shape", SHAPES)
+def test_forward_matches_xla(shape):
+    B, D, H, W, CIN = shape
+    COUT = 4
+    x = _mk(shape, 0)
+    w = _mk((3, 3, 3, CIN, COUT), 1)
+    bias = _mk((COUT,), 2)
+    xk = pack_hw(x)
+    got = conv3x3_packed(xk, w, bias, W, True)
+    ref = conv3x3_reference_packed(xk, w, bias, W)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # and unpacking gives the plain conv
+    y = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + bias
+    np.testing.assert_allclose(np.asarray(unpack_hw(got, W)),
+                               np.asarray(y), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", SHAPES[:2])
+def test_vjp_matches_xla(shape):
+    B, D, H, W, CIN = shape
+    COUT = 4
+    x = _mk(shape, 6)
+    w = _mk((3, 3, 3, CIN, COUT), 7)
+    bias = _mk((COUT,), 8)
+    xk = pack_hw(x)
+    dy = pack_hw(_mk((B, D, H, W, COUT), 9))
+
+    _, vjp_ref = jax.vjp(
+        lambda x_, w_, b_: conv3x3_reference_packed(x_, w_, b_, W),
+        xk, w, bias)
+    dx_r, dw_r, db_r = vjp_ref(dy)
+    _, vjp_got = jax.vjp(
+        lambda x_, w_, b_: conv3x3_packed(x_, w_, b_, W, True),
+        xk, w, bias)
+    dx_g, dw_g, db_g = vjp_got(dy)
+    np.testing.assert_allclose(np.asarray(dx_g), np.asarray(dx_r),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_g), np.asarray(dw_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db_g), np.asarray(db_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_packed_unet_matches_plain():
+    """BasicUNet3D(packed=True) output == plain output on the same params
+    (checkpoint interchangeability), float32, interpret-mode kernel."""
+    from unet_bssfp_tpu.models.unet import BasicUNet3D
+
+    x = _mk((1, 16, 16, 16, 5), 12)
+    kw = dict(out_channels=2, features=(4, 4, 4, 4, 8, 4), dropout=0.0,
+              dtype=jnp.float32, use_fused=False)
+    plain = BasicUNet3D(packed=False, **kw)
+    packed = BasicUNet3D(packed=True, **kw)
+    params = plain.init(jax.random.PRNGKey(13), x, train=False)
+    p2 = packed.init(jax.random.PRNGKey(14), x, train=False)
+    fa = {jax.tree_util.keystr(k): v.shape
+          for k, v in jax.tree_util.tree_leaves_with_path(params)}
+    fb = {jax.tree_util.keystr(k): v.shape
+          for k, v in jax.tree_util.tree_leaves_with_path(p2)}
+    assert fa == fb, f"param trees differ:\n{fa}\nvs\n{fb}"
+    ref = plain.apply(params, x, train=False)
+    got = packed.apply(params, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_packed_unet_grad_parity():
+    from unet_bssfp_tpu.models.unet import BasicUNet3D
+
+    x = _mk((1, 8, 8, 16, 3), 15)
+    kw = dict(out_channels=2, features=(4, 4, 4, 4, 8, 4), dropout=0.0,
+              dtype=jnp.float32, use_fused=False)
+    plain = BasicUNet3D(packed=False, **kw)
+    packed = BasicUNet3D(packed=True, **kw)
+    params = plain.init(jax.random.PRNGKey(16), x, train=False)
+
+    g_ref = jax.grad(lambda p: jnp.sum(
+        plain.apply(p, x, train=False) ** 2))(params)
+    g_got = jax.grad(lambda p: jnp.sum(
+        packed.apply(p, x, train=False) ** 2))(params)
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref),
+        jax.tree_util.tree_leaves_with_path(g_got),
+    ):
+        key = jax.tree_util.keystr(kp)
+        # A conv bias followed by InstanceNorm has an exactly-zero true
+        # gradient (the norm subtracts it); what autodiff returns is
+        # catastrophic-cancellation noise, so only an absolute bound is
+        # meaningful there.
+        atol = 2e-2 if key.endswith("['conv']['bias']") else 2e-3
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=8e-3, atol=atol,
+            err_msg=key)
+
+
+def test_pack_roundtrip_and_gate():
+    x = _mk((1, 4, 8, 64, 3), 10)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_hw(pack_hw(x), 64)), np.asarray(x))
+    assert packed_supported((8, 64, 64, 64, 24))
+    assert packed_supported((8, 96, 128, 128, 32))
+    assert packed_supported((8, 32, 32, 32, 64))
+    assert not packed_supported((8, 64, 64, 63, 24))   # W not in {32,64,128}
+    assert not packed_supported((8, 64, 63, 64, 24))   # H % P != 0
+    assert not packed_supported((8, 16, 16, 16, 256))  # C > 128

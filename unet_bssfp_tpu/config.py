@@ -110,6 +110,12 @@ class ModelConfig:
     # param paths. None = auto (True on TPU, False elsewhere — the 16/9 FLOP
     # blowup only pays for itself where MXU lane padding is the bottleneck).
     folded: Optional[bool] = None
+    # Pallas spatial-lane conv kernel for the generator's full-resolution
+    # stages (ops.pallas.conv3d): HBM read once per conv (vs ~27× for XLA's
+    # im2col), full MXU lanes — measured 1.8–2.2× fwd+bwd on v5e at the
+    # stage shapes. Takes precedence over `folded` where supported.
+    # None = auto (True on TPU, False elsewhere).
+    packed: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -39,6 +39,9 @@ class Generator(nn.Module):
     use_fused: bool = True
     # Folded (shifted space-to-depth) full-res stages — see models.unet.
     folded: bool = False
+    # Pallas spatial-lane conv kernel for the full-res stages — see
+    # models.unet (takes precedence over ``folded``).
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -64,5 +67,6 @@ class Generator(nn.Module):
             remat=self.remat,
             use_fused=self.use_fused,
             folded=self.folded,
+            packed=self.packed,
             name="unet",
         )(x, train)

@@ -31,6 +31,15 @@ def _can_fold(x: jax.Array) -> bool:
     return all(s % 2 == 0 for s in x.shape[1:4])
 
 
+def _can_pack(x: jax.Array, f0: int) -> bool:
+    """The Pallas spatial-lane kernel needs H·W % 128 == 0 (lane tiling),
+    even dims (for the pool) and channel counts ≤ 128."""
+    from unet_bssfp_tpu.ops.pallas.conv3d import packed_supported
+
+    return (packed_supported(x.shape) and _can_fold(x)
+            and x.shape[-1] <= 128 and f0 <= 128)
+
+
 class BasicUNet3D(nn.Module):
     out_channels: int = 6
     features: Tuple[int, ...] = (32, 64, 128, 256, 512, 32)
@@ -54,6 +63,13 @@ class BasicUNet3D(nn.Module):
     # checkpoints are interchangeable with the unfolded model. Auto-falls
     # back when spatial dims are odd or ``prelu`` is set.
     folded: bool = False
+    # Run the two full-resolution stages through the Pallas spatial-lane
+    # conv kernel (models.packed_layers / ops.pallas.conv3d): the input is
+    # read from HBM once per conv instead of ~27× and the GEMMs run with
+    # full MXU lanes — measured 1.8–2.2× over the XLA conv fwd+bwd on v5e.
+    # Identical param paths; takes precedence over ``folded``. Auto-falls
+    # back when the shape is unsupported or ``prelu`` is set.
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -68,8 +84,33 @@ class BasicUNet3D(nn.Module):
             down = nn.remat(Down, static_argnums=(2,))
             upcat = nn.remat(UpCat, static_argnums=(3,))
 
-        folded = self.folded and not self.prelu and _can_fold(x)
-        if folded:
+        packed = self.packed and not self.prelu and _can_pack(x, f[0])
+        folded = (not packed and self.folded and not self.prelu
+                  and _can_fold(x))
+        if packed:
+            from unet_bssfp_tpu.models.folded_layers import PooledConvs
+            from unet_bssfp_tpu.models.packed_layers import (
+                PackedTwoConv,
+                PackedUpCat,
+                packed_max_pool2,
+            )
+
+            p_two_conv, p_upcat, p_convs = (
+                PackedTwoConv, PackedUpCat, PooledConvs)
+            if self.remat:
+                p_two_conv = nn.remat(PackedTwoConv, static_argnums=(2,))
+                p_upcat = nn.remat(PackedUpCat, static_argnums=(3,))
+                p_convs = nn.remat(PooledConvs, static_argnums=(2,))
+
+            wdim = x.shape[3]
+            xk0 = p_two_conv(
+                f[0], self.dropout, self.negative_slope, dtype=self.dtype,
+                name="conv_0")(x, train)
+            x0p = packed_max_pool2(xk0, wdim)
+            x1 = p_convs(f[1], self.dropout, self.negative_slope,
+                         self.dtype, self.use_fused, self.prelu,
+                         name="down_1")(x0p, train)
+        elif folded:
             from unet_bssfp_tpu.models.folded_layers import (
                 FoldedTwoConv,
                 FoldedUpCat,
@@ -113,6 +154,17 @@ class BasicUNet3D(nn.Module):
                    self.dtype, self.use_fused, self.prelu, name="upcat_3")(u4, x2, train)
         u2 = upcat(f[1], f[2] // 2, self.dropout, self.negative_slope,
                    self.dtype, self.use_fused, self.prelu, name="upcat_2")(u3, x1, train)
+        if packed:
+            from unet_bssfp_tpu.models.packed_layers import PackedFinalConv
+            from unet_bssfp_tpu.ops.pallas.conv3d import unpack_hw
+
+            u1k = p_upcat(f[5], f[1], wdim, self.dropout,
+                          self.negative_slope, dtype=self.dtype,
+                          name="upcat_1")(u2, xk0, train)
+            out = PackedFinalConv(
+                self.out_channels, dtype=self.dtype, name="final_conv",
+            )(u1k)
+            return unpack_hw(out, wdim)
         if folded:
             u1 = f_upcat(f[5], f[1], h, w, -2, self.dropout,
                          self.negative_slope, dtype=self.dtype,

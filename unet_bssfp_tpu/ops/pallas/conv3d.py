@@ -1,0 +1,414 @@
+"""Pallas TPU 3×3×3 SAME conv for small-channel stages — spatial-lane layout.
+
+The generator's full-resolution stages (Cout=32 @ 64³; reference BasicUNet
+features ``/root/reference/src/model.py:22-28``) dominate the GAN step.
+Measured on v5e (scripts/{conv_probe,fold_axis_probe}.py, two-point sync):
+XLA lowers these convs to an im2col GEMM that re-reads the input ~27× from
+HBM and fills only Cout=32 of 128 MXU lanes — 5–7 % of bf16 peak, HBM-bound.
+
+This kernel stores activations **spatial-flattened**:
+
+    (B, D, C, H·W)        lane index = h·W + w
+
+so that per output d-slice the GEMM operand is the *zero-copy* VMEM slice
+``B₃ = x_vmem[d:d+3]`` reshaped to ``(3·Cin, H·W)``: K = 3·Cin over
+sublanes, N = H·W (4096 for a 64³ patch) over lanes — large in both dims,
+so the MXU streams and the per-iteration loop overhead amortises over an
+entire d-slice. The (kh, kw) taps become nine weight blocks
+``W_khkw (Cout, 3·Cin)`` whose partial outputs are combined by masked lane
+rolls of the f32 result (h-shift = roll ±W, w-shift = roll ±1; SAME padding
+is the roll masks — no spatial padding in memory). The d halo is a cheap
+leading-dim pad; each grid cell DMAs its (DT+2)-slice window to VMEM once,
+dropping HBM traffic from ~27× to ~1× of the input.
+
+Numerics: f32 accumulation, same contraction class as XLA's conv (bf16
+outputs match within rounding). Autodiff via custom VJP: dx is this kernel
+with flipped/transposed weights; dw is a sibling kernel accumulating
+``B₃ @ (rolled dy)ᵀ`` blocks over the sequential grid.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# VMEM budget for window + output block + temporaries (~16 MB/core total;
+# Mosaic double-buffers pipelined blocks and keeps several of the unrolled
+# roll-add chain's f32 (COUT, HW) values live, so stay conservative).
+_VMEM_BUDGET = 9 * 1024 * 1024
+
+
+def _sub(c: int) -> int:
+    return -(-c // 8) * 8
+
+
+def _pick_dt(d: int, hw: int, cin: int, cout: int,
+             itemsize: int = 2) -> int:
+    """Largest d-tile whose halo window + out block + f32 temps fit."""
+    x_slice = _sub(cin) * hw * itemsize
+    o_slice = _sub(cout) * hw * itemsize
+    temps = 6 * _sub(cout) * hw * 4          # live f32 (COUT, HW) values
+    for dt in (8, 4, 2, 1):
+        # out block is double-buffered by the pipeline
+        total = (dt + 2) * x_slice + 2 * dt * o_slice + temps
+        if d % dt == 0 and total <= _VMEM_BUDGET:
+            return dt
+    return 1
+
+
+def _roll_masked(y32, shift, lane, W, HW):
+    """Roll the f32 (C, HW) value by ``shift`` lanes (+h·W + w offsets) and
+    zero the SAME-padding positions the roll wrapped across."""
+    kh, kw = shift
+    amount = (kh * W + kw) % HW
+    out = pltpu.roll(y32, amount, 1) if amount else y32
+    if kh > 0:       # shifted toward +h: first kh h-rows invalid
+        out = jnp.where(lane < kh * W, 0.0, out)
+    elif kh < 0:
+        out = jnp.where(lane >= HW + kh * W, 0.0, out)
+    if kw > 0:       # shifted toward +w: first kw w-cols of each row invalid
+        out = jnp.where(lane % W < kw, 0.0, out)
+    elif kw < 0:
+        out = jnp.where(lane % W >= W + kw, 0.0, out)
+    return out
+
+
+def _conv_kernel(xp_ref, wstack_ref, bias_ref, out_ref, x_vmem, sem,
+                 *, DT, HW, W, CIN, COUT):
+    """Grid (B, D//DT). xp_ref: (B, D+2, CIN, HW) in ANY/HBM (d padded).
+    wstack_ref: (9*COUT, 3*CIN) — tap (kh, kw) at rows
+    [(kh*3+kw)*COUT, ...); K ordered (kd, ci).
+    out_ref block: (1, DT, COUT, HW). x_vmem: (DT+2, CIN, HW)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        xp_ref.at[b, pl.ds(i * DT, DT + 2)], x_vmem, sem
+    )
+    dma.start()
+    dma.wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (COUT, HW), 1)
+
+    def body(d, _):
+        bmat = x_vmem[pl.ds(d, 3), :, :].reshape(3 * CIN, HW)
+        acc = bias_ref[:] * jnp.ones((COUT, HW), jnp.float32)
+        for kh in range(3):
+            for kw in range(3):
+                y = jax.lax.dot_general(
+                    wstack_ref[pl.ds((kh * 3 + kw) * COUT, COUT), :], bmat,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                # W_khkw · X(h, w) contributes to out(h - kh + 1, w - kw + 1)
+                acc = acc + _roll_masked(y, (1 - kh, 1 - kw), lane, W, HW)
+        out_ref[0, pl.ds(d, 1), :, :] = (
+            acc.astype(out_ref.dtype).reshape(1, COUT, HW)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, DT, body, 0)
+
+
+def _wstack(w: jax.Array, dtype) -> jax.Array:
+    """(3,3,3,Cin,Cout) → (9*Cout, 3*Cin): row block (kh, kw), K=(kd, ci)."""
+    k = jnp.transpose(w, (1, 2, 4, 0, 3))  # (kh, kw, Cout, kd, Cin)
+    return k.reshape(9 * w.shape[4], 3 * w.shape[3]).astype(dtype)
+
+
+def _conv_fwd_impl(xk: jax.Array, w: jax.Array, bias: jax.Array, wdim: int,
+                   interpret: bool = False) -> jax.Array:
+    B, D, CIN, HW = xk.shape
+    assert HW % wdim == 0 and HW % 128 == 0
+    COUT = w.shape[4]
+    # Mosaic requires sublane dims in multiples of 8 (sub-8 channel counts
+    # fault the compiled kernel); zero-pad the channel dims and slice after.
+    cin8, cout8 = _sub(CIN), _sub(COUT)
+    if cin8 != CIN:
+        xk = jnp.pad(xk, ((0, 0), (0, 0), (0, cin8 - CIN), (0, 0)))
+        w = jnp.pad(w, ((0, 0),) * 3 + ((0, cin8 - CIN), (0, 0)))
+    if cout8 != COUT:
+        w = jnp.pad(w, ((0, 0),) * 4 + ((0, cout8 - COUT),))
+        bias = jnp.pad(bias, (0, cout8 - COUT))
+    cout_orig = COUT
+    CIN, COUT = cin8, cout8
+    DT = _pick_dt(D, HW, CIN, COUT, xk.dtype.itemsize)
+
+    xp = jnp.pad(xk, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    wstack = _wstack(w, xk.dtype)
+    b_col = bias.reshape(COUT, 1).astype(jnp.float32)
+
+    kernel = functools.partial(
+        _conv_kernel, DT=DT, HW=HW, W=wdim, CIN=CIN, COUT=COUT
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, D // DT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((9 * COUT, 3 * CIN), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((COUT, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, DT, COUT, HW), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, D, COUT, HW), xk.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((DT + 2, CIN, HW), xk.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, wstack, b_col)
+    return out[:, :, :cout_orig] if cout_orig != COUT else out
+
+
+def _dw_kernel(xp_ref, dy_ref, dw_ref, x_vmem, sem,
+               *, DT, HW, W, CIN, COUT):
+    """Accumulates (9*(3*CIN), COUT) over the sequential grid: row block
+    (kh, kw), K ordered (kd, ci)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    dma = pltpu.make_async_copy(
+        xp_ref.at[b, pl.ds(i * DT, DT + 2)], x_vmem, sem
+    )
+    dma.start()
+    dma.wait()
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (COUT, HW), 1)
+
+    def body(d, acc):
+        bmat = x_vmem[pl.ds(d, 3), :, :].reshape(3 * CIN, HW)
+        dy0 = dy_ref[0, pl.ds(d, 1), :, :].reshape(COUT, HW).astype(
+            jnp.float32)
+        parts = []
+        for kh in range(3):
+            for kw in range(3):
+                # dw_khkw = Σ X(h+kh-1, w+kw-1) ⊗ dy(h, w): roll dy to align
+                # with the unshifted X; the masks zero SAME-pad positions.
+                dyk = _roll_masked(dy0, (kh - 1, kw - 1), lane, W, HW)
+                parts.append(jax.lax.dot_general(
+                    bmat, dyk.astype(x_vmem.dtype),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ))  # (3*CIN, COUT)
+        return acc + jnp.concatenate(parts, axis=0)
+
+    acc = jax.lax.fori_loop(
+        0, DT, body, jnp.zeros_like(dw_ref)
+    )
+    dw_ref[:] = dw_ref[:] + acc
+
+
+def _dw_impl(xk: jax.Array, dy: jax.Array, wdim: int,
+             interpret: bool = False) -> jax.Array:
+    B, D, CIN, HW = xk.shape
+    COUT = dy.shape[2]
+    cin8, cout8 = _sub(CIN), _sub(COUT)
+    if cin8 != CIN:
+        xk = jnp.pad(xk, ((0, 0), (0, 0), (0, cin8 - CIN), (0, 0)))
+    if cout8 != COUT:
+        dy = jnp.pad(dy, ((0, 0), (0, 0), (0, cout8 - COUT), (0, 0)))
+    cin_orig, cout_orig = CIN, COUT
+    CIN, COUT = cin8, cout8
+    DT = _pick_dt(D, HW, CIN, COUT, xk.dtype.itemsize)
+
+    xp = jnp.pad(xk, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    kernel = functools.partial(
+        _dw_kernel, DT=DT, HW=HW, W=wdim, CIN=CIN, COUT=COUT
+    )
+    dw_flat = pl.pallas_call(
+        kernel,
+        grid=(B, D // DT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, DT, COUT, HW), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (27 * CIN, COUT), lambda b, i: (0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((27 * CIN, COUT), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((DT + 2, CIN, HW), xk.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, dy)
+    # rows: (kh, kw, kd, ci) → (3,3,3,CIN,COUT) as (kd, kh, kw, ci)
+    dw = dw_flat.reshape(3, 3, 3, CIN, COUT)       # (kh, kw, kd, ci, co)
+    dw = jnp.transpose(dw, (2, 0, 1, 3, 4))
+    return dw[:, :, :, :cin_orig, :cout_orig]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3_packed(xk: jax.Array, w: jax.Array, bias: jax.Array,
+                   wdim: int, interpret: bool = False) -> jax.Array:
+    """SAME 3×3×3 conv on a spatial-lane tensor.
+
+    xk: (B, D, Cin, H·W) (see :func:`pack_hw`); w: (3,3,3,Cin,Cout);
+    bias: (Cout,); ``wdim`` = W. Returns (B, D, Cout, H·W). Equivalent to
+    NDHWC ``lax.conv_general_dilated(..., padding='SAME')`` + bias up to
+    layout.
+    """
+    return _conv_fwd_impl(xk, w.astype(xk.dtype), bias, wdim, interpret)
+
+
+def _vjp_fwd(xk, w, bias, wdim, interpret):
+    return conv3x3_packed(xk, w, bias, wdim, interpret), (xk, w)
+
+
+def _vjp_bwd(wdim, interpret, res, dy):
+    xk, w = res
+    w_flip_t = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
+    dx = _conv_fwd_impl(
+        dy, w_flip_t.astype(dy.dtype),
+        jnp.zeros((w.shape[3],), jnp.float32), wdim, interpret,
+    )
+    dw = _dw_impl(xk, dy, wdim, interpret).astype(w.dtype)
+    db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 3))
+    return dx.astype(xk.dtype), dw, db.astype(jnp.float32)
+
+
+conv3x3_packed.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Layout helpers + shape gate
+# ---------------------------------------------------------------------------
+
+def _pack_kernel(x_ref, eye_ref, o_ref, *, C, HW):
+    """(1, 1, HW, C) → (1, 1, C, HW) via an identity GEMM — the MXU does the
+    transpose at memory roofline (XLA's minor-dim transpose costs ~5 ms per
+    100 MB on v5e; this is ~0.3 ms)."""
+    slab = x_ref[0, 0, :, :]                      # (HW, C)
+    o_ref[0, 0, :, :] = jax.lax.dot_general(
+        eye_ref[:], slab,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _unpack_kernel(x_ref, eye_ref, o_ref, *, C, HW):
+    """(1, 1, C, HW) → (1, 1, HW, C) via an identity GEMM."""
+    slab = x_ref[0, 0, :, :]                      # (C, HW)
+    o_ref[0, 0, :, :] = jax.lax.dot_general(
+        slab, eye_ref[:],
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _mxu_transpose_ok(c: int, hw: int) -> bool:
+    return (jax.default_backend() == "tpu" and hw % 128 == 0
+            and 8 <= c <= 256)
+
+
+@jax.custom_vjp
+def pack_hw(x: jax.Array) -> jax.Array:
+    """NDHWC (B, D, H, W, C) → spatial-lane (B, D, C, H·W).
+
+    On TPU the channels-minor → spatial-minor relayout runs as a Pallas
+    identity-GEMM (MXU transpose); elsewhere it is a plain XLA transpose."""
+    b, d, h, w, c = x.shape
+    hw = h * w
+    if _mxu_transpose_ok(c, hw):
+        xs = x.reshape(b, d, hw, c)
+        eye = jnp.eye(c, dtype=x.dtype)
+        return pl.pallas_call(
+            functools.partial(_pack_kernel, C=c, HW=hw),
+            grid=(b, d),
+            in_specs=[
+                pl.BlockSpec((1, 1, hw, c), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, c), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, c, hw), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, d, c, hw), x.dtype),
+        )(xs, eye)
+    x = jnp.transpose(x, (0, 1, 4, 2, 3))
+    return x.reshape(b, d, c, hw)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def unpack_hw(xk: jax.Array, wdim: int) -> jax.Array:
+    """Inverse of :func:`pack_hw`."""
+    b, d, c, hw = xk.shape
+    if _mxu_transpose_ok(c, hw):
+        eye = jnp.eye(c, dtype=xk.dtype)
+        xs = pl.pallas_call(
+            functools.partial(_unpack_kernel, C=c, HW=hw),
+            grid=(b, d),
+            in_specs=[
+                pl.BlockSpec((1, 1, c, hw), lambda i, j: (i, j, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((c, c), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, hw, c), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, d, hw, c), xk.dtype),
+        )(xk, eye)
+        return xs.reshape(b, d, hw // wdim, wdim, c)
+    x = xk.reshape(b, d, c, hw // wdim, wdim)
+    return jnp.transpose(x, (0, 1, 3, 4, 2))
+
+
+def _pack_vjp_fwd(x):
+    return pack_hw(x), x.shape
+
+
+def _pack_vjp_bwd(shape, dy):
+    # pack is a permutation: the cotangent is the inverse permutation.
+    return (unpack_hw(dy, shape[3]),)
+
+
+pack_hw.defvjp(_pack_vjp_fwd, _pack_vjp_bwd)
+
+
+def _unpack_vjp_fwd(xk, wdim):
+    return unpack_hw(xk, wdim), None
+
+
+def _unpack_vjp_bwd(wdim, _, dy):
+    return (pack_hw(dy),)
+
+
+unpack_hw.defvjp(_unpack_vjp_fwd, _unpack_vjp_bwd)
+
+
+def packed_supported(shape: Tuple[int, ...]) -> bool:
+    """Static gate: NDHWC shape (B, D, H, W, C) the kernel can take."""
+    if len(shape) != 5:
+        return False
+    _, d, h, w, c = shape
+    return (h * w) % 128 == 0 and h >= 3 and w >= 3 and d >= 1 and c <= 128
+
+
+def conv3x3_reference_packed(xk, w, bias, wdim):
+    """XLA reference for tests: same math via the NDHWC conv."""
+    x = unpack_hw(xk, wdim)
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1, 1), padding="SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    return pack_hw(y + bias.astype(y.dtype))

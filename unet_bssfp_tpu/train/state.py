@@ -53,9 +53,14 @@ def build_models(modality: str, mcfg: ModelConfig):
             f"unknown modality {modality!r}; expected one of {MODALITIES}"
         )
     dtype = jnp.dtype(mcfg.compute_dtype)
-    folded = mcfg.folded
-    if folded is None:
-        folded = jax.default_backend() == "tpu"
+    on_tpu = jax.default_backend() == "tpu"
+    folded = mcfg.folded if mcfg.folded is not None else on_tpu
+    # The Pallas conv is an opaque custom call: under a multi-device jit it
+    # cannot be SPMD-partitioned, so auto-enable only on a single chip
+    # (multi-chip meshes use the pure-XLA folded path, which partitions).
+    packed = mcfg.packed if mcfg.packed is not None else (
+        on_tpu and len(jax.devices()) == 1
+    )
     gen = Generator(
         modality=modality,
         unet_in_channels=mcfg.unet_in_channels,
@@ -68,6 +73,7 @@ def build_models(modality: str, mcfg: ModelConfig):
         remat=mcfg.remat,
         use_fused=mcfg.use_pallas,
         folded=folded,
+        packed=packed,
     )
     disc = Discriminator(
         modality=modality,
