@@ -129,12 +129,22 @@ def main(args):
     )
     log(f"disc fwd+bwd: {dt*1e3:.1f} ms")
 
+    # 3b. the reference's FULL objective adds the MedicalNet perceptual
+    # term (always on in the reference; the headline bench step matches the
+    # torch baseline, which is BCE+L1 only — see bench.py)
+    from unet_bssfp_tpu.config import Config
+    from unet_bssfp_tpu.train.loop import build_perceptual_fn
+
+    perc_fn = build_perceptual_fn(Config(train=tcfg))
+
     # 4. full step variants
     for name, kwargs, (xx, yy) in [
         ("full step (parity, fp32 in)", {}, (x32, y32)),
         ("full step (parity, bf16 in)", {}, (x16, y16)),
         ("full step (reuse_fake)", {"reuse_fake": True}, (x32, y32)),
         ("full step (reuse_fake, bf16 in)", {"reuse_fake": True}, (x16, y16)),
+        ("full step (+MedicalNet perceptual)",
+         {"perceptual_fn": perc_fn}, (x32, y32)),
     ]:
         step = make_train_step(gen, disc, tcfg, donate=False, **kwargs)
 

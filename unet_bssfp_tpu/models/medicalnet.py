@@ -179,10 +179,11 @@ def medicalnet_features(
     through the net separately and features are concatenated on the channel
     axis. Intensity normalisation (whole-tensor z-norm,
     ``src/model.py:222-226``) is the caller's job."""
-    feats = []
-    for c in range(volume.shape[-1]):
-        feats.append(net.apply(variables, volume[..., c : c + 1], train=False))
-    return jnp.concatenate(feats, axis=-1)
+    n, c = volume.shape[0], volume.shape[-1]
+    slabs = [volume[..., i:i + 1] for i in range(c)]
+    f = net.apply(variables, jnp.concatenate(slabs, axis=0), train=False)
+    parts = [f[i * n:(i + 1) * n] for i in range(c)]
+    return jnp.concatenate(parts, axis=-1)
 
 
 def perceptual_distance(
@@ -200,15 +201,25 @@ def perceptual_distance(
 
     from unet_bssfp_tpu.ops.metrics import znorm
 
-    dists = []
-    for c in range(pred.shape[-1]):
-        fp = net.apply(variables, znorm(pred)[..., c : c + 1], train=False)
-        ft = net.apply(variables, znorm(target)[..., c : c + 1], train=False)
+    n, c = pred.shape[0], pred.shape[-1]
+    zp, zt = znorm(pred), znorm(target)
+    # One batched net call instead of 2·C sequential ones: stack every
+    # (volume, channel) single-channel input on the batch axis — identical
+    # math, ~2× fewer launches and much better utilisation on TPU.
+    slabs = [zp[..., i:i + 1] for i in range(c)]
+    slabs += [zt[..., i:i + 1] for i in range(c)]
+    feats = net.apply(
+        variables, jnp.concatenate(slabs, axis=0), train=False
+    )  # (2*C*N, d', h', w', F)
 
-        def unit(f):
-            norm = jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True)) + 1e-10
-            return f / norm
+    def unit(f):
+        norm = jnp.sqrt(jnp.sum(f * f, axis=-1, keepdims=True)) + 1e-10
+        return f / norm
 
-        diff2 = (unit(fp) - unit(ft)) ** 2
-        dists.append(jnp.mean(jnp.sum(diff2, axis=-1)))
-    return jnp.mean(jnp.stack(dists))
+    fu = unit(feats)
+    fp, ft = fu[: c * n], fu[c * n:]
+    diff2 = (fp - ft) ** 2
+    # sum over feature channels, mean over everything else — matches the
+    # per-channel jnp.mean(jnp.sum(..., -1)) of the sequential form because
+    # every (channel, batch) slab has identical spatial extent.
+    return jnp.mean(jnp.sum(diff2, axis=-1))

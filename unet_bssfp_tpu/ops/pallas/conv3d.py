@@ -97,14 +97,17 @@ def _conv_kernel(xp_ref, wstack_ref, bias_ref, out_ref, x_vmem, sem,
 
     def body(d, _):
         bmat = x_vmem[pl.ds(d, 3), :, :].reshape(3 * CIN, HW)
+        # ONE GEMM for all nine taps: the weight stack's M dim carries the
+        # (kh, kw) blocks, so Y_khkw are sublane blocks of one result.
+        ys = jax.lax.dot_general(
+            wstack_ref[:], bmat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (9*COUT, HW)
         acc = bias_ref[:] * jnp.ones((COUT, HW), jnp.float32)
         for kh in range(3):
             for kw in range(3):
-                y = jax.lax.dot_general(
-                    wstack_ref[pl.ds((kh * 3 + kw) * COUT, COUT), :], bmat,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+                y = ys[(kh * 3 + kw) * COUT:(kh * 3 + kw + 1) * COUT, :]
                 # W_khkw · X(h, w) contributes to out(h - kh + 1, w - kw + 1)
                 acc = acc + _roll_masked(y, (1 - kh, 1 - kw), lane, W, HW)
         out_ref[0, pl.ds(d, 1), :, :] = (
@@ -172,8 +175,9 @@ def _conv_fwd_impl(xk: jax.Array, w: jax.Array, bias: jax.Array, wdim: int,
 
 def _dw_kernel(xp_ref, dy_ref, dw_ref, x_vmem, sem,
                *, DT, HW, W, CIN, COUT):
-    """Accumulates (9*(3*CIN), COUT) over the sequential grid: row block
-    (kh, kw), K ordered (kd, ci)."""
+    """Accumulates (3*CIN, 9*COUT) over the sequential grid: rows (kd, ci),
+    column block (kh, kw) — one GEMM per d-slice against the stacked rolled
+    dy (the stack build reuses the rolls the 9-dot form needed anyway)."""
     b = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -193,18 +197,19 @@ def _dw_kernel(xp_ref, dy_ref, dw_ref, x_vmem, sem,
         bmat = x_vmem[pl.ds(d, 3), :, :].reshape(3 * CIN, HW)
         dy0 = dy_ref[0, pl.ds(d, 1), :, :].reshape(COUT, HW).astype(
             jnp.float32)
-        parts = []
+        rolled = []
         for kh in range(3):
             for kw in range(3):
                 # dw_khkw = Σ X(h+kh-1, w+kw-1) ⊗ dy(h, w): roll dy to align
                 # with the unshifted X; the masks zero SAME-pad positions.
-                dyk = _roll_masked(dy0, (kh - 1, kw - 1), lane, W, HW)
-                parts.append(jax.lax.dot_general(
-                    bmat, dyk.astype(x_vmem.dtype),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ))  # (3*CIN, COUT)
-        return acc + jnp.concatenate(parts, axis=0)
+                rolled.append(
+                    _roll_masked(dy0, (kh - 1, kw - 1), lane, W, HW))
+        dys = jnp.concatenate(rolled, axis=0).astype(x_vmem.dtype)
+        return acc + jax.lax.dot_general(
+            bmat, dys,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (3*CIN, 9*COUT)
 
     acc = jax.lax.fori_loop(
         0, DT, body, jnp.zeros_like(dw_ref)
@@ -238,19 +243,19 @@ def _dw_impl(xk: jax.Array, dy: jax.Array, wdim: int,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (27 * CIN, COUT), lambda b, i: (0, 0),
+            (3 * CIN, 9 * COUT), lambda b, i: (0, 0),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct((27 * CIN, COUT), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((3 * CIN, 9 * COUT), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((DT + 2, CIN, HW), xk.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
     )(xp, dy)
-    # rows: (kh, kw, kd, ci) → (3,3,3,CIN,COUT) as (kd, kh, kw, ci)
-    dw = dw_flat.reshape(3, 3, 3, CIN, COUT)       # (kh, kw, kd, ci, co)
-    dw = jnp.transpose(dw, (2, 0, 1, 3, 4))
+    # rows (kd, ci) × cols (kh, kw, co) → (3,3,3,CIN,COUT) = (kd,kh,kw,ci,co)
+    dw = dw_flat.reshape(3, CIN, 3, 3, COUT)
+    dw = jnp.transpose(dw, (0, 2, 3, 1, 4))
     return dw[:, :, :, :cin_orig, :cout_orig]
 
 
