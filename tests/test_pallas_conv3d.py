@@ -132,6 +132,24 @@ def test_packed_unet_grad_parity():
             err_msg=key)
 
 
+def test_pack_unpack_vjp():
+    """pack/unpack are permutations with custom VJPs (the TPU path is a
+    Pallas identity-GEMM, which has no automatic gradient): their
+    cotangents must be the inverse permutations."""
+    x = _mk((1, 2, 4, 32, 3), 20)
+    dy_p = _mk((1, 2, 3, 128), 21)
+
+    y, vjp = jax.vjp(pack_hw, x)
+    (dx,) = vjp(dy_p)
+    np.testing.assert_array_equal(
+        np.asarray(dx), np.asarray(unpack_hw(dy_p, 32)))
+
+    y2, vjp2 = jax.vjp(lambda xk: unpack_hw(xk, 32), pack_hw(x))
+    (dxk,) = vjp2(x)
+    np.testing.assert_array_equal(
+        np.asarray(dxk), np.asarray(pack_hw(x)))
+
+
 def test_pack_roundtrip_and_gate():
     x = _mk((1, 4, 8, 64, 3), 10)
     np.testing.assert_array_equal(

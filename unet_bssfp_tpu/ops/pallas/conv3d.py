@@ -37,10 +37,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for window + output block + temporaries (~16 MB/core total;
-# Mosaic double-buffers pipelined blocks and keeps several of the unrolled
-# roll-add chain's f32 (COUT, HW) values live, so stay conservative).
-_VMEM_BUDGET = 9 * 1024 * 1024
+# Mosaic's default scoped-VMEM limit is 16 MB; v5e has far more physical
+# VMEM, so the kernels request a larger window (whole-volume shapes need it:
+# one (C, H·W) f32 slab is 1.5-2 MB and the roll-combine keeps several
+# live). The planning budget stays below the requested limit to leave room
+# for double-buffered pipeline blocks and scheduler slack.
+_VMEM_LIMIT = 64 * 1024 * 1024
+_VMEM_BUDGET = 28 * 1024 * 1024
+# Cap for the fused tap-GEMM result (f32) — above this, chunk per kh, then
+# per tap.
+_YS_BUDGET = 12 * 1024 * 1024
 
 
 def _sub(c: int) -> int:
@@ -95,20 +101,25 @@ def _conv_kernel(xp_ref, wstack_ref, bias_ref, out_ref, x_vmem, sem,
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (COUT, HW), 1)
 
+    # Tap-group size: ONE GEMM for all nine taps amortises launch overhead,
+    # but its (group*COUT, HW) f32 result must fit VMEM — fall back to
+    # per-kh groups, then single taps, at whole-volume HW.
+    group = next(g for g in (9, 3, 1)
+                 if g * COUT * HW * 4 <= _YS_BUDGET or g == 1)
+
     def body(d, _):
         bmat = x_vmem[pl.ds(d, 3), :, :].reshape(3 * CIN, HW)
-        # ONE GEMM for all nine taps: the weight stack's M dim carries the
-        # (kh, kw) blocks, so Y_khkw are sublane blocks of one result.
-        ys = jax.lax.dot_general(
-            wstack_ref[:], bmat,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (9*COUT, HW)
         acc = bias_ref[:] * jnp.ones((COUT, HW), jnp.float32)
-        for kh in range(3):
-            for kw in range(3):
-                y = ys[(kh * 3 + kw) * COUT:(kh * 3 + kw + 1) * COUT, :]
-                # W_khkw · X(h, w) contributes to out(h - kh + 1, w - kw + 1)
+        for g0 in range(0, 9, group):
+            ys = jax.lax.dot_general(
+                wstack_ref[pl.ds(g0 * COUT, group * COUT), :], bmat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (group*COUT, HW): tap blocks (kh, kw) from index g0
+            for j in range(group):
+                kh, kw = divmod(g0 + j, 3)
+                y = ys[j * COUT:(j + 1) * COUT, :]
+                # W_khkw · X(h, w) → out(h - kh + 1, w - kw + 1)
                 acc = acc + _roll_masked(y, (1 - kh, 1 - kw), lane, W, HW)
         out_ref[0, pl.ds(d, 1), :, :] = (
             acc.astype(out_ref.dtype).reshape(1, COUT, HW)
@@ -168,6 +179,8 @@ def _conv_fwd_impl(xk: jax.Array, w: jax.Array, bias: jax.Array, wdim: int,
             pltpu.VMEM((DT + 2, CIN, HW), xk.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xp, wstack, b_col)
     return out[:, :, :cout_orig] if cout_orig != COUT else out
@@ -192,24 +205,30 @@ def _dw_kernel(xp_ref, dy_ref, dw_ref, x_vmem, sem,
     dma.wait()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (COUT, HW), 1)
+    group = next(g for g in (9, 3, 1)
+                 if g * COUT * HW * 4 <= _YS_BUDGET or g == 1)
 
     def body(d, acc):
         bmat = x_vmem[pl.ds(d, 3), :, :].reshape(3 * CIN, HW)
         dy0 = dy_ref[0, pl.ds(d, 1), :, :].reshape(COUT, HW).astype(
             jnp.float32)
-        rolled = []
-        for kh in range(3):
-            for kw in range(3):
+        parts = []
+        for g0 in range(0, 9, group):
+            rolled = []
+            for j in range(group):
+                kh, kw = divmod(g0 + j, 3)
                 # dw_khkw = Σ X(h+kh-1, w+kw-1) ⊗ dy(h, w): roll dy to align
                 # with the unshifted X; the masks zero SAME-pad positions.
                 rolled.append(
                     _roll_masked(dy0, (kh - 1, kw - 1), lane, W, HW))
-        dys = jnp.concatenate(rolled, axis=0).astype(x_vmem.dtype)
-        return acc + jax.lax.dot_general(
-            bmat, dys,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (3*CIN, 9*COUT)
+            dys = jnp.concatenate(rolled, axis=0).astype(x_vmem.dtype)
+            parts.append(jax.lax.dot_general(
+                bmat, dys,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))  # (3*CIN, group*COUT)
+        return acc + (parts[0] if len(parts) == 1
+                      else jnp.concatenate(parts, axis=1))
 
     acc = jax.lax.fori_loop(
         0, DT, body, jnp.zeros_like(dw_ref)
@@ -251,6 +270,8 @@ def _dw_impl(xk: jax.Array, dy: jax.Array, wdim: int,
             pltpu.VMEM((DT + 2, CIN, HW), xk.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xp, dy)
     # rows (kd, ci) × cols (kh, kw, co) → (3,3,3,CIN,COUT) = (kd,kh,kw,ci,co)
@@ -295,31 +316,44 @@ conv3x3_packed.defvjp(_vjp_fwd, _vjp_bwd)
 # Layout helpers + shape gate
 # ---------------------------------------------------------------------------
 
-def _pack_kernel(x_ref, eye_ref, o_ref, *, C, HW):
-    """(1, 1, HW, C) → (1, 1, C, HW) via an identity GEMM — the MXU does the
-    transpose at memory roofline (XLA's minor-dim transpose costs ~5 ms per
-    100 MB on v5e; this is ~0.3 ms)."""
-    slab = x_ref[0, 0, :, :]                      # (HW, C)
-    o_ref[0, 0, :, :] = jax.lax.dot_general(
-        eye_ref[:], slab,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+def _pack_kernel(x_ref, eye_ref, o_ref, *, DB, C, HW):
+    """(1, DB, HW, C) → (1, DB, C, HW) via identity GEMMs — the MXU does
+    the transpose near memory roofline (XLA's minor-dim transpose costs
+    ~5 ms per 100 MB on v5e). DB d-slices per grid cell amortise the
+    per-cell pipeline overhead."""
+    for d in range(DB):
+        slab = x_ref[0, d, :, :]                  # (HW, C)
+        o_ref[0, d, :, :] = jax.lax.dot_general(
+            eye_ref[:], slab,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
 
 
-def _unpack_kernel(x_ref, eye_ref, o_ref, *, C, HW):
-    """(1, 1, C, HW) → (1, 1, HW, C) via an identity GEMM."""
-    slab = x_ref[0, 0, :, :]                      # (C, HW)
-    o_ref[0, 0, :, :] = jax.lax.dot_general(
-        slab, eye_ref[:],
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+def _unpack_kernel(x_ref, eye_ref, o_ref, *, DB, C, HW):
+    """(1, DB, C, HW) → (1, DB, HW, C) via identity GEMMs."""
+    for d in range(DB):
+        slab = x_ref[0, d, :, :]                  # (C, HW)
+        o_ref[0, d, :, :] = jax.lax.dot_general(
+            slab, eye_ref[:],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
 
 
 def _mxu_transpose_ok(c: int, hw: int) -> bool:
     return (jax.default_backend() == "tpu" and hw % 128 == 0
             and 8 <= c <= 256)
+
+
+def _pick_db(d: int, c: int, hw: int) -> int:
+    """d-slices per pack cell: both layouts live in VMEM (the channels-
+    minor side tile-pads C to 128 lanes)."""
+    per = (hw * 128 + _sub(c) * hw) * 2 * 2      # in + out, double-buffered
+    for db in (8, 4, 2, 1):
+        if d % db == 0 and db * per <= _VMEM_BUDGET:
+            return db
+    return 1
 
 
 @jax.custom_vjp
@@ -331,22 +365,25 @@ def pack_hw(x: jax.Array) -> jax.Array:
     b, d, h, w, c = x.shape
     hw = h * w
     if _mxu_transpose_ok(c, hw):
+        db = _pick_db(d, c, hw)
         xs = x.reshape(b, d, hw, c)
         eye = jnp.eye(c, dtype=x.dtype)
         return pl.pallas_call(
-            functools.partial(_pack_kernel, C=c, HW=hw),
-            grid=(b, d),
+            functools.partial(_pack_kernel, DB=db, C=c, HW=hw),
+            grid=(b, d // db),
             in_specs=[
-                pl.BlockSpec((1, 1, hw, c), lambda i, j: (i, j, 0, 0),
+                pl.BlockSpec((1, db, hw, c), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((c, c), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, c, hw), lambda i, j: (i, j, 0, 0),
+                (1, db, c, hw), lambda i, j: (i, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((b, d, c, hw), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
         )(xs, eye)
     x = jnp.transpose(x, (0, 1, 4, 2, 3))
     return x.reshape(b, d, c, hw)
@@ -357,21 +394,24 @@ def unpack_hw(xk: jax.Array, wdim: int) -> jax.Array:
     """Inverse of :func:`pack_hw`."""
     b, d, c, hw = xk.shape
     if _mxu_transpose_ok(c, hw):
+        db = _pick_db(d, c, hw)
         eye = jnp.eye(c, dtype=xk.dtype)
         xs = pl.pallas_call(
-            functools.partial(_unpack_kernel, C=c, HW=hw),
-            grid=(b, d),
+            functools.partial(_unpack_kernel, DB=db, C=c, HW=hw),
+            grid=(b, d // db),
             in_specs=[
-                pl.BlockSpec((1, 1, c, hw), lambda i, j: (i, j, 0, 0),
+                pl.BlockSpec((1, db, c, hw), lambda i, j: (i, j, 0, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((c, c), lambda i, j: (0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, hw, c), lambda i, j: (i, j, 0, 0),
+                (1, db, hw, c), lambda i, j: (i, j, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             out_shape=jax.ShapeDtypeStruct((b, d, hw, c), xk.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
         )(xk, eye)
         return xs.reshape(b, d, hw // wdim, wdim, c)
     x = xk.reshape(b, d, c, hw // wdim, wdim)
