@@ -132,6 +132,29 @@ def test_packed_unet_grad_parity():
             err_msg=key)
 
 
+def test_packed_unet_prelu_matches_plain():
+    """The packed path supports the thesis MultiInputUNet's learnable PReLU
+    slopes with the same param path (conv_x/prelu_slope)."""
+    from unet_bssfp_tpu.models.unet import BasicUNet3D
+
+    x = _mk((1, 8, 8, 16, 3), 30)
+    kw = dict(out_channels=2, features=(4, 4, 4, 4, 8, 4), dropout=0.0,
+              dtype=jnp.float32, use_fused=False, prelu=True)
+    plain = BasicUNet3D(packed=False, **kw)
+    packed = BasicUNet3D(packed=True, **kw)
+    params = plain.init(jax.random.PRNGKey(31), x, train=False)
+    fa = {jax.tree_util.keystr(k): v.shape
+          for k, v in jax.tree_util.tree_leaves_with_path(params)}
+    fb = {jax.tree_util.keystr(k): v.shape
+          for k, v in jax.tree_util.tree_leaves_with_path(
+              packed.init(jax.random.PRNGKey(32), x, train=False))}
+    assert fa == fb
+    ref = plain.apply(params, x, train=False)
+    got = packed.apply(params, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_pack_unpack_vjp():
     """pack/unpack are permutations with custom VJPs (the TPU path is a
     Pallas identity-GEMM, which has no automatic gradient): their

@@ -83,6 +83,9 @@ class MultiInputUNet(nn.Module):
     dropout: float = 0.05
     dtype: Optional[Any] = None
     use_fused: bool = False
+    # Pallas spatial-lane conv kernel for the full-res stages — see
+    # models.unet (the packed path supports the learnable PReLU slopes).
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -95,6 +98,7 @@ class MultiInputUNet(nn.Module):
             dropout=self.dropout,
             dtype=self.dtype,
             use_fused=self.use_fused,
+            packed=self.packed,
             name="unet",
         )(h, train)
 

@@ -39,8 +39,11 @@ def _interpret() -> bool:
 
 
 class PackedConvNormAct(nn.Module):
-    """ConvNormAct (conv3³ → InstanceNorm → Dropout → LeakyReLU) on a packed
-    (B, D, C, H·W) tensor. ``wdim`` is the W extent of the lane dim."""
+    """ConvNormAct (conv3³ → InstanceNorm → Dropout → LeakyReLU/PReLU) on a
+    packed (B, D, C, H·W) tensor. ``wdim`` is the W extent of the lane dim.
+    ``prelu`` uses a learnable per-channel slope (param ``prelu_slope``,
+    matching ``models.layers.ConvNormAct``) instead of the fixed LeakyReLU
+    slope — the thesis MultiInputUNet activation."""
 
     features: int
     wdim: int
@@ -48,6 +51,7 @@ class PackedConvNormAct(nn.Module):
     negative_slope: float = 0.1
     epsilon: float = 1e-5
     dtype: Optional[Dtype] = None
+    prelu: bool = False
 
     @nn.compact
     def __call__(self, xk: jax.Array, train: bool = True) -> jax.Array:
@@ -69,7 +73,15 @@ class PackedConvNormAct(nn.Module):
         y = y * scale.reshape(1, 1, -1, 1) + nbias.reshape(1, 1, -1, 1)
         if self.dropout > 0.0 and train:
             y = nn.Dropout(self.dropout, deterministic=False)(y)
-        y = nn.leaky_relu(y, self.negative_slope)
+        if self.prelu:
+            slope = self.param(
+                "prelu_slope",
+                nn.initializers.constant(self.negative_slope),
+                (self.features,),
+            ).astype(y.dtype)
+            y = jnp.where(y >= 0, y, slope.reshape(1, 1, -1, 1) * y)
+        else:
+            y = nn.leaky_relu(y, self.negative_slope)
         return y.astype(dtype)
 
 
@@ -81,6 +93,7 @@ class PackedTwoConv(nn.Module):
     dropout: float = 0.0
     negative_slope: float = 0.1
     dtype: Optional[Dtype] = None
+    prelu: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -88,11 +101,11 @@ class PackedTwoConv(nn.Module):
         xk = pack_hw(x.astype(self.dtype or x.dtype))
         xk = PackedConvNormAct(
             self.features, wdim, self.dropout, self.negative_slope,
-            dtype=self.dtype, name="conv_0",
+            dtype=self.dtype, prelu=self.prelu, name="conv_0",
         )(xk, train)
         return PackedConvNormAct(
             self.features, wdim, self.dropout, self.negative_slope,
-            dtype=self.dtype, name="conv_1",
+            dtype=self.dtype, prelu=self.prelu, name="conv_1",
         )(xk, train)
 
 
@@ -118,6 +131,7 @@ class PackedUpCat(nn.Module):
     dropout: float = 0.0
     negative_slope: float = 0.1
     dtype: Optional[Dtype] = None
+    prelu: bool = False
 
     @nn.compact
     def __call__(
@@ -131,7 +145,7 @@ class PackedUpCat(nn.Module):
         xk = jnp.concatenate([skip_k, upk], axis=2)
         return _PackedPair(
             self.features, self.wdim, self.dropout, self.negative_slope,
-            dtype=self.dtype, name="convs",
+            dtype=self.dtype, prelu=self.prelu, name="convs",
         )(xk, train)
 
 
@@ -144,16 +158,17 @@ class _PackedPair(nn.Module):
     dropout: float = 0.0
     negative_slope: float = 0.1
     dtype: Optional[Dtype] = None
+    prelu: bool = False
 
     @nn.compact
     def __call__(self, xk: jax.Array, train: bool = True) -> jax.Array:
         xk = PackedConvNormAct(
             self.features, self.wdim, self.dropout, self.negative_slope,
-            dtype=self.dtype, name="conv_0",
+            dtype=self.dtype, prelu=self.prelu, name="conv_0",
         )(xk, train)
         return PackedConvNormAct(
             self.features, self.wdim, self.dropout, self.negative_slope,
-            dtype=self.dtype, name="conv_1",
+            dtype=self.dtype, prelu=self.prelu, name="conv_1",
         )(xk, train)
 
 

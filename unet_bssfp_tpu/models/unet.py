@@ -66,9 +66,9 @@ class BasicUNet3D(nn.Module):
     # Run the two full-resolution stages through the Pallas spatial-lane
     # conv kernel (models.packed_layers / ops.pallas.conv3d): the input is
     # read from HBM once per conv instead of ~27× and the GEMMs run with
-    # full MXU lanes — measured 1.8–2.2× over the XLA conv fwd+bwd on v5e.
-    # Identical param paths; takes precedence over ``folded``. Auto-falls
-    # back when the shape is unsupported or ``prelu`` is set.
+    # full MXU lanes — measured 1.9–2.9× over the XLA conv fwd+bwd on v5e.
+    # Identical param paths (incl. learnable PReLU slopes); takes
+    # precedence over ``folded``. Auto-falls back on unsupported shapes.
     packed: bool = False
 
     @nn.compact
@@ -84,7 +84,7 @@ class BasicUNet3D(nn.Module):
             down = nn.remat(Down, static_argnums=(2,))
             upcat = nn.remat(UpCat, static_argnums=(3,))
 
-        packed = self.packed and not self.prelu and _can_pack(x, f[0])
+        packed = self.packed and _can_pack(x, f[0])
         folded = (not packed and self.folded and not self.prelu
                   and _can_fold(x))
         if packed:
@@ -105,7 +105,7 @@ class BasicUNet3D(nn.Module):
             wdim = x.shape[3]
             xk0 = p_two_conv(
                 f[0], self.dropout, self.negative_slope, dtype=self.dtype,
-                name="conv_0")(x, train)
+                prelu=self.prelu, name="conv_0")(x, train)
             x0p = packed_max_pool2(xk0, wdim)
             x1 = p_convs(f[1], self.dropout, self.negative_slope,
                          self.dtype, self.use_fused, self.prelu,
@@ -160,7 +160,7 @@ class BasicUNet3D(nn.Module):
 
             u1k = p_upcat(f[5], f[1], wdim, self.dropout,
                           self.negative_slope, dtype=self.dtype,
-                          name="upcat_1")(u2, xk0, train)
+                          prelu=self.prelu, name="upcat_1")(u2, xk0, train)
             out = PackedFinalConv(
                 self.out_channels, dtype=self.dtype, name="final_conv",
             )(u1k)

@@ -48,12 +48,19 @@ def build_multi_input_unet(modality: str, mcfg: ModelConfig) -> MultiInputUNet:
     kw = {}
     if mcfg.multistage_features is not None:
         kw["features"] = tuple(mcfg.multistage_features)
+    packed = mcfg.packed
+    if packed is None:
+        # Same single-chip gate as build_models: the Pallas conv custom
+        # call cannot be SPMD-partitioned under a multi-device jit.
+        packed = (jax.default_backend() == "tpu"
+                  and len(jax.devices()) == 1)
     return MultiInputUNet(
         modality=modality,
         out_channels=mcfg.out_channels,
         dropout=mcfg.dropout,
         dtype=jnp.dtype(mcfg.compute_dtype),
         use_fused=mcfg.use_pallas,
+        packed=packed,
         **kw,
     )
 
