@@ -105,14 +105,14 @@ class ModelConfig:
     # Rematerialise U-Net blocks in backward (memory for FLOPs).
     remat: bool = False
     # Shifted space-to-depth folded layout for the generator's two
-    # full-resolution stages (models.folded_layers): measured ~7% → ~50% of
-    # bf16 peak on those convs on v5e, exact numerics, checkpoint-compatible
-    # param paths. None = auto (True on TPU, False elsewhere — the 16/9 FLOP
-    # blowup only pays for itself where MXU lane padding is the bottleneck).
+    # full-resolution stages (models.folded_layers): measured 1.58× fwd+bwd
+    # on the conv_0 stage on v5e, exact numerics, checkpoint-compatible
+    # param paths, pure XLA (so it SPMD-partitions — the multi-chip path;
+    # `packed` supersedes it single-chip). None = auto (True on TPU).
     folded: Optional[bool] = None
     # Pallas spatial-lane conv kernel for the generator's full-resolution
     # stages (ops.pallas.conv3d): HBM read once per conv (vs ~27× for XLA's
-    # im2col), full MXU lanes — measured 1.8–2.2× fwd+bwd on v5e at the
+    # im2col), full MXU lanes — measured 1.9–2.9× fwd+bwd on v5e at the
     # stage shapes. Takes precedence over `folded` where supported.
     # None = auto (True on TPU, False elsewhere).
     packed: Optional[bool] = None

@@ -5,7 +5,7 @@ reference BasicUNet ``/root/reference/src/model.py:22-28``) through the
 Pallas spatial-lane conv kernel (``ops.pallas.conv3d``): activations live as
 ``(B, D, C, H·W)`` for the whole stage, the input is read from HBM once per
 conv instead of ~27×, and the MXU GEMMs run with N = H·W full lanes.
-Measured on v5e: ~1.8–2.2× over the XLA conv on forward+backward at the
+Measured on v5e: 1.9–2.9× over the XLA conv on forward+backward at the
 stage shapes.
 
 Param paths and shapes match the plain modules exactly (``conv/kernel``

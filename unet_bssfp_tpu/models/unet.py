@@ -58,10 +58,11 @@ class BasicUNet3D(nn.Module):
     # Run the two full-resolution stages (conv_0 / upcat_1) in the shifted
     # space-to-depth folded layout (models.folded_layers): 4× the MXU lane
     # utilisation of the Cout=32 convs for a 16/9 FLOP blowup — measured
-    # ~7% → ~50% of bf16 peak on v5e for the stage. Exact numerics (the
-    # widened kernels carry structural zeros) and identical param paths, so
-    # checkpoints are interchangeable with the unfolded model. Auto-falls
-    # back when spatial dims are odd or ``prelu`` is set.
+    # 1.58× fwd+bwd on the conv_0 stage on v5e. Exact numerics (the widened
+    # kernels carry structural zeros) and identical param paths, so
+    # checkpoints are interchangeable with the unfolded model. Pure XLA, so
+    # it SPMD-partitions (the multi-chip default; ``packed`` wins single-
+    # chip). Auto-falls back when spatial dims are odd or ``prelu`` is set.
     folded: bool = False
     # Run the two full-resolution stages through the Pallas spatial-lane
     # conv kernel (models.packed_layers / ops.pallas.conv3d): the input is
