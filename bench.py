@@ -84,6 +84,7 @@ def measure_jax_train(steps: int = 20, warmup: int = 3,
     from unet_bssfp_tpu.config import ModelConfig, TrainConfig
     from unet_bssfp_tpu.train.state import build_models, create_gan_state
     from unet_bssfp_tpu.train.steps import make_predict_fn, make_train_step
+    from unet_bssfp_tpu.utils.flops import gan_step_flops, peak_flops
 
     mcfg = ModelConfig()  # full-size, bfloat16 compute
     tcfg = TrainConfig()
@@ -135,9 +136,68 @@ def measure_jax_train(steps: int = 20, warmup: int = 3,
 
     elapsed = max(t_long - t_short, 1e-6)
     patches_per_sec = BATCH * steps / elapsed
-    log(f"jax train: {elapsed/steps*1e3:.1f} ms/step "
+    ms_per_step = elapsed / steps * 1e3
+    log(f"jax train: {ms_per_step:.1f} ms/step "
         f"(two-point: {t_short:.1f}s vs {t_long:.1f}s), "
         f"{patches_per_sec:.2f} patches/s")
+
+    # Chip-honest absolute position: analytic step FLOPs / measured time
+    # (utils/flops.py documents the counting conventions).
+    device_kind = jax.devices()[0].device_kind
+    peak = peak_flops(device_kind)
+    step_fl = gan_step_flops(BATCH, PATCH, IN_CH, OUT_CH)
+    tflops = step_fl / (ms_per_step / 1e3) / 1e12
+    mfu = (tflops * 1e12 / peak) if peak else None
+    log(f"parity step: {tflops:.1f} TFLOP/s"
+        + (f" = {mfu*100:.1f}% of {device_kind} bf16 peak" if peak else ""))
+
+    # The reference's FULL objective (PerceptualL1Loss is constructed
+    # unconditionally, /root/reference/src/model.py:146): same step with the
+    # MedicalNet perceptual term in the generator loss. Measured separately
+    # so the headline vs_baseline ratio stays apples-to-apples with the
+    # cached BCE+L1 torch baseline.
+    full_ms = None
+    full_tflops = None
+    if with_variants and not slow_sync:
+        from unet_bssfp_tpu.models.medicalnet import (
+            load_medicalnet,
+            perceptual_distance,
+        )
+
+        # Same construction as Trainer.build_perceptual_fn: the net computes
+        # in the model's dtype (bf16 default), reductions stay f32.
+        net, variables = load_medicalnet(
+            tcfg.medicalnet_weights,
+            dtype=jnp.dtype(tcfg.perceptual_dtype or mcfg.compute_dtype),
+        )
+
+        def perceptual_fn(a, b):
+            return perceptual_distance(net, variables, a, b)
+
+        step_p = make_train_step(
+            gen, disc, tcfg, perceptual_fn=perceptual_fn, donate=False
+        )
+        t0 = time.perf_counter()
+        sp, mp = step_p(state, x, y)
+        sync(mp)
+        log(f"full-objective step compile+first: {time.perf_counter()-t0:.1f}s")
+        t0 = time.perf_counter()
+        for _ in range(warmup):
+            sp, mp = step_p(sp, x, y)
+        sync(mp)
+        tp1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(warmup + steps):
+            sp, mp = step_p(sp, x, y)
+        sync(mp)
+        tp2 = time.perf_counter() - t0
+        full_ms = max(tp2 - tp1, 1e-6) / steps * 1e3
+        full_fl = gan_step_flops(BATCH, PATCH, IN_CH, OUT_CH,
+                                 with_perceptual=True)
+        full_tflops = full_fl / (full_ms / 1e3) / 1e12
+        log(f"jax train (full objective, +perceptual): {full_ms:.1f} ms/step"
+            f" — {full_tflops:.1f} TFLOP/s"
+            + (f" = {full_tflops*1e12/peak*100:.1f}% of peak" if peak else ""))
 
     if with_variants and not slow_sync:
         # Diagnostic: the reuse_fake fast mode (documented semantics change).
@@ -188,9 +248,18 @@ def measure_jax_train(steps: int = 20, warmup: int = 3,
     return {
         "patches_per_sec": patches_per_sec,
         "volumes_per_sec": patches_per_sec / SAMPLES_PER_VOL,
-        "ms_per_step": elapsed / steps * 1e3,
+        "ms_per_step": ms_per_step,
         "inference_latency_s": inf_latency,
         "slow_sync": slow_sync,
+        "device_kind": device_kind,
+        "tflops_per_sec": tflops,
+        "pct_of_peak": (mfu * 100.0) if mfu is not None else None,
+        "full_objective_ms": full_ms,
+        "full_objective_tflops_per_sec": full_tflops,
+        "full_objective_pct_of_peak": (
+            full_tflops * 1e12 / peak * 100.0
+            if (full_tflops is not None and peak) else None
+        ),
     }
 
 
@@ -450,6 +519,9 @@ def main():
         vs = round(
             jax_result["volumes_per_sec"] / baseline["volumes_per_sec"], 2
         )
+    def rnd(v, n=2):
+        return round(v, n) if isinstance(v, float) else v
+
     print(
         json.dumps(
             {
@@ -457,6 +529,19 @@ def main():
                 "value": round(jax_result["volumes_per_sec"], 3),
                 "unit": "volumes/sec/chip",
                 "vs_baseline": vs,
+                # chip-honest absolutes (analytic FLOPs, utils/flops.py)
+                "ms_per_step": rnd(jax_result["ms_per_step"]),
+                "tflops_per_sec": rnd(jax_result["tflops_per_sec"]),
+                "pct_of_peak": rnd(jax_result["pct_of_peak"]),
+                # the reference's full (perceptual-on) objective
+                "full_objective_ms": rnd(jax_result["full_objective_ms"]),
+                "full_objective_tflops_per_sec": rnd(
+                    jax_result["full_objective_tflops_per_sec"]
+                ),
+                "full_objective_pct_of_peak": rnd(
+                    jax_result["full_objective_pct_of_peak"]
+                ),
+                "device_kind": jax_result["device_kind"],
             }
         )
     )
