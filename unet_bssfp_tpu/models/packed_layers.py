@@ -26,9 +26,8 @@ from flax import linen as nn
 
 from unet_bssfp_tpu.models.folded_layers import _Conv3Params, _NormParams
 from unet_bssfp_tpu.ops.pallas.conv3d import (
-    conv3x3_packed,
-    pack_hw,
-    unpack_hw,
+    conv3x3_packed_auto,
+    pack_hw_auto,
 )
 
 Dtype = Any
@@ -60,7 +59,7 @@ class PackedConvNormAct(nn.Module):
         scale, nbias = _NormParams(name="norm")(self.features)
         dtype = self.dtype or xk.dtype
 
-        yk = conv3x3_packed(
+        yk = conv3x3_packed_auto(
             xk.astype(dtype), kernel, cbias.astype(jnp.float32),
             self.wdim, _interpret(),
         )
@@ -98,7 +97,7 @@ class PackedTwoConv(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         wdim = x.shape[3]
-        xk = pack_hw(x.astype(self.dtype or x.dtype))
+        xk = pack_hw_auto(x.astype(self.dtype or x.dtype))
         xk = PackedConvNormAct(
             self.features, wdim, self.dropout, self.negative_slope,
             dtype=self.dtype, prelu=self.prelu, name="conv_0",
@@ -141,7 +140,7 @@ class PackedUpCat(nn.Module):
             self.up_features, kernel_size=(2, 2, 2), strides=(2, 2, 2),
             dtype=self.dtype, name="upsample",
         )(x)
-        upk = pack_hw(up)
+        upk = pack_hw_auto(up)
         xk = jnp.concatenate([skip_k, upk], axis=2)
         return _PackedPair(
             self.features, self.wdim, self.dropout, self.negative_slope,

@@ -157,7 +157,7 @@ class BasicUNet3D(nn.Module):
                    self.dtype, self.use_fused, self.prelu, name="upcat_2")(u3, x1, train)
         if packed:
             from unet_bssfp_tpu.models.packed_layers import PackedFinalConv
-            from unet_bssfp_tpu.ops.pallas.conv3d import unpack_hw
+            from unet_bssfp_tpu.ops.pallas.conv3d import unpack_hw_auto
 
             u1k = p_upcat(f[5], f[1], wdim, self.dropout,
                           self.negative_slope, dtype=self.dtype,
@@ -165,7 +165,7 @@ class BasicUNet3D(nn.Module):
             out = PackedFinalConv(
                 self.out_channels, dtype=self.dtype, name="final_conv",
             )(u1k)
-            return unpack_hw(out, wdim)
+            return unpack_hw_auto(out, wdim)
         if folded:
             u1 = f_upcat(f[5], f[1], h, w, -2, self.dropout,
                          self.negative_slope, dtype=self.dtype,

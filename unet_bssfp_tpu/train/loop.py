@@ -33,10 +33,16 @@ def build_perceptual_fn(config: Config):
         perceptual_distance,
     )
 
-    net, variables = load_medicalnet(config.train.medicalnet_weights)
+    import jax.numpy as jnp
+
+    dtype_name = config.train.perceptual_dtype or config.model.compute_dtype
+    net, variables = load_medicalnet(
+        config.train.medicalnet_weights, dtype=jnp.dtype(dtype_name)
+    )
+    chunk = config.train.perceptual_chunk
 
     def perceptual_fn(y_hat, y):
-        return perceptual_distance(net, variables, y_hat, y)
+        return perceptual_distance(net, variables, y_hat, y, chunk=chunk)
 
     return perceptual_fn
 
@@ -72,7 +78,9 @@ class Trainer:
             perceptual_fn = build_perceptual_fn(config)
         self.perceptual_fn = perceptual_fn
         self.debug = debug
-        self.gen, self.disc = build_models(modality, config.model)
+        self.gen, self.disc = build_models(
+            modality, config.model, mesh=self.mesh
+        )
         self.train_step = make_train_step(
             self.gen, self.disc, config.train, perceptual_fn, self.mesh,
             reuse_fake=config.train.reuse_fake,
@@ -162,11 +170,23 @@ class Trainer:
                 epoch, extra={"epoch_seconds": elapsed}
             )
             self.ckpt.save(epoch, state, row)
+            # W&B model artifacts as they are saved (reference
+            # WandbLogger(log_model='all'), src/train.py:16-18 — uploads
+            # every checkpoint during the run, so a crash loses nothing).
+            # Only synchronise the async save when W&B is actually on.
+            if self.logger._wandb is not None:
+                self.ckpt.wait()
+                step_dir = os.path.join(self.ckpt.directory, str(epoch))
+                if os.path.isdir(step_dir):
+                    self.logger.log_artifact(
+                        step_dir, name=f"{self.modality}-ckpt-{epoch}",
+                        type="model",
+                    )
             if self.early_stop.update(row):
                 break
         self.ckpt.wait()
-        # W&B model artifacts (reference WandbLogger(log_model='all'),
-        # src/train.py:16-18): push every retained top-k checkpoint.
+        # Fallback sweep: push any retained top-k checkpoint not uploaded
+        # in-run (e.g. W&B enabled but an epoch's dir was pruned/renamed).
         for step_dir in sorted(os.listdir(self.ckpt.directory)):
             full = os.path.join(self.ckpt.directory, step_dir)
             if step_dir.isdigit() and os.path.isdir(full):

@@ -44,16 +44,17 @@ class SupervisedState:
     opt_state: Any
 
 
-def build_multi_input_unet(modality: str, mcfg: ModelConfig) -> MultiInputUNet:
+def build_multi_input_unet(
+    modality: str, mcfg: ModelConfig, mesh=None
+) -> MultiInputUNet:
+    from unet_bssfp_tpu.train.state import auto_packed
+
     kw = {}
     if mcfg.multistage_features is not None:
         kw["features"] = tuple(mcfg.multistage_features)
-    packed = mcfg.packed
-    if packed is None:
-        # Same single-chip gate as build_models: the Pallas conv custom
-        # call cannot be SPMD-partitioned under a multi-device jit.
-        packed = (jax.default_backend() == "tpu"
-                  and len(jax.devices()) == 1)
+    # Same gate as build_models: data-parallel meshes run the Pallas conv
+    # via shard_map; space-sharded meshes fall back to the XLA paths.
+    packed = auto_packed(mcfg, mesh)
     return MultiInputUNet(
         modality=modality,
         out_channels=mcfg.out_channels,
@@ -166,6 +167,9 @@ def make_supervised_train_step(
         bshard = NamedSharding(mesh, P("data"))
         kwargs["in_shardings"] = (repl, bshard, bshard)
         kwargs["out_shardings"] = (repl, repl)
+        from unet_bssfp_tpu.train.steps import _with_conv_mesh
+
+        step = _with_conv_mesh(step, mesh)
     return jax.jit(step, **kwargs)
 
 
@@ -202,6 +206,9 @@ def make_supervised_eval_step(
         repl = NamedSharding(mesh, P())
         bshard = NamedSharding(mesh, P("data"))
         kwargs["in_shardings"] = (repl, bshard, bshard)
+        from unet_bssfp_tpu.train.steps import _with_conv_mesh
+
+        step = _with_conv_mesh(step, mesh)
     return jax.jit(step, **kwargs)
 
 
@@ -264,7 +271,7 @@ def run_multistage(
         modality = (
             "dwi-tensor" if stage == TrainingState.PRETRAIN else target_modality
         )
-        net = build_multi_input_unet(modality, config.model)
+        net = build_multi_input_unet(modality, config.model, mesh=mesh)
         key, k_stage = jax.random.split(key)
         if stage == TrainingState.TRANSFER and params is not None:
             params = transfer_params(params, net, k_stage, patch)

@@ -45,7 +45,30 @@ def make_optimizer(cfg: TrainConfig, lr: Optional[float] = None):
     )
 
 
-def build_models(modality: str, mcfg: ModelConfig):
+def auto_packed(mcfg: ModelConfig, mesh=None) -> bool:
+    """Resolve the packed-conv gate against the topology the step will
+    actually run on (ADVICE r2: key on the intended mesh, not the global
+    device count).
+
+    - explicit ``mcfg.packed`` always wins;
+    - no mesh: packed iff a single TPU chip is attached;
+    - a mesh: packed on TPU for pure data-parallel meshes — the kernels are
+      shard_mapped over the ``data`` axis (``ops.pallas.conv3d``,
+      ``packed_conv_mesh``); a ``space``-sharded mesh needs conv halo
+      exchange, which only the pure-XLA folded path provides → packed off.
+    """
+    if mcfg.packed is not None:
+        return mcfg.packed
+    on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        return False
+    if mesh is None:
+        return len(jax.devices()) == 1
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    return sizes.get("space", 1) == 1
+
+
+def build_models(modality: str, mcfg: ModelConfig, mesh=None):
     from unet_bssfp_tpu.config import MODALITIES
 
     if modality not in MODALITIES:
@@ -55,12 +78,7 @@ def build_models(modality: str, mcfg: ModelConfig):
     dtype = jnp.dtype(mcfg.compute_dtype)
     on_tpu = jax.default_backend() == "tpu"
     folded = mcfg.folded if mcfg.folded is not None else on_tpu
-    # The Pallas conv is an opaque custom call: under a multi-device jit it
-    # cannot be SPMD-partitioned, so auto-enable only on a single chip
-    # (multi-chip meshes use the pure-XLA folded path, which partitions).
-    packed = mcfg.packed if mcfg.packed is not None else (
-        on_tpu and len(jax.devices()) == 1
-    )
+    packed = auto_packed(mcfg, mesh)
     gen = Generator(
         modality=modality,
         unet_in_channels=mcfg.unet_in_channels,
