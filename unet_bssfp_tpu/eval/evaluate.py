@@ -350,7 +350,10 @@ def eval_model(
     and write ``test_metrics.csv`` for the report tooling.
 
     ``with_fid``: log the reference's MedicalNet FID per stitched volume
-    (``test_metric_FID`` column, reference ``src/model.py:235-257,308-309``).
+    (reference ``src/model.py:235-257,308-309``). The column is
+    ``test_metric_FID`` when pretrained Med3D weights are configured, and
+    ``test_metric_FID_random_features`` otherwise — the random-feature
+    value is not comparable to the reference's published FID.
     """
     import csv
 
@@ -377,10 +380,16 @@ def eval_model(
     predict_fn = make_predict_fn(gen)
     fid_fn = None
     if with_fid:
-        from unet_bssfp_tpu.models.medicalnet import load_medicalnet
+        from unet_bssfp_tpu.models.medicalnet import (
+            load_medicalnet,
+            medicalnet_is_pretrained,
+        )
 
         fid_fn = make_medicalnet_fid_fn(
-            *load_medicalnet(config.train.medicalnet_weights)
+            *load_medicalnet(config.train.medicalnet_weights),
+            pretrained=medicalnet_is_pretrained(
+                config.train.medicalnet_weights
+            ),
         )
     data.setup()
     metrics = run_test(

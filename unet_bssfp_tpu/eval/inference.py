@@ -81,7 +81,8 @@ def _stitched_metrics(
         "test_metric_L1": float(jnp.mean(mae(p, t))),
     }
     if fid_fn is not None:
-        out["test_metric_FID"] = float(fid_fn(p, t))
+        label = getattr(fid_fn, "label", "FID")
+        out[f"test_metric_{label}"] = float(fid_fn(p, t))
     return out
 
 
