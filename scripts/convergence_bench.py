@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""Fixed-budget convergence benchmark (round-2 VERDICT #8).
+
+A seeded synthetic-BIDS training run with a pinned configuration — the same
+regime as the round-2 on-chip record (12 subjects at (96,128,128), batch
+8×64³ patches, pc-bSSFP → DT, BCE+L1 objective): quality becomes a
+round-tracked number instead of an anecdote. Appends a record to
+``CONVERGENCE.json`` at the repo root and fails (exit 1) if final val PSNR
+regresses more than ``--tolerance`` dB below the best prior record at the
+same epoch budget.
+
+Reference quality anchor: BASELINE.md finetune table (30–43 dB on real
+data); the synthetic fixture is far easier, so this guards *regressions*,
+not absolute parity.
+
+Usage (real chip, ~10 min incl. compile):
+    python scripts/convergence_bench.py --epochs 4
+CPU smoke (tiny volumes):
+    UNET_BSSFP_PLATFORM=cpu python scripts/convergence_bench.py \
+        --epochs 2 --smoke
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+RECORD_PATH = os.path.join(REPO, "CONVERGENCE.json")
+
+
+def git_rev() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+def run(epochs: int, smoke: bool) -> dict:
+    import jax
+
+    from unet_bssfp_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+    from unet_bssfp_tpu.data.datamodule import DoveDataModule
+    from unet_bssfp_tpu.data.synthetic import make_synthetic_bids
+    from unet_bssfp_tpu.train.loop import Trainer
+
+    tmp = tempfile.mkdtemp(prefix="convbench_")
+    if smoke:
+        vol, patch, batch, subjects = (24, 32, 32), 16, 4, 6
+        features = (4, 8, 8, 16, 16, 4)
+        disc_features = (8, 8, 16)
+        dtype = "float32"
+    else:
+        vol, patch, batch, subjects = (96, 128, 128), 64, 8, 12
+        features = (32, 64, 128, 256, 512, 32)
+        disc_features = (32, 64, 128, 256, 512)
+        dtype = "bfloat16"
+
+    bids = make_synthetic_bids(
+        os.path.join(tmp, "bids"),
+        subjects=tuple(f"{i:02d}" for i in range(1, subjects + 1)),
+        sessions=("1",),
+        volume_shape=vol,
+        seed=0,
+    )
+    cfg = Config(
+        data=DataConfig(
+            data_dir=bids,
+            batch_size=batch,
+            patch_size=patch,
+            samples_per_vol=4,
+            volume_shape=vol,
+            val_split=0.2,
+            test_split=0.2,
+            cache_volumes=True,
+        ),
+        model=ModelConfig(
+            features=features,
+            disc_features=disc_features,
+            compute_dtype=dtype,
+        ),
+        train=TrainConfig(
+            log_dir=os.path.join(tmp, "logs"),
+            checkpoint_dir=os.path.join(tmp, "ckpts"),
+            max_epochs=epochs,
+            # the benched objective (BCE+L1), matching BENCH/PARITY records
+            with_perceptual=False,
+            seed=42,
+        ),
+    )
+    data = DoveDataModule(bids, config=cfg.data)
+    trainer = Trainer(cfg, "pc-bssfp")
+    t0 = datetime.datetime.now()
+    trainer.fit(data, max_epochs=epochs)
+    wall = (datetime.datetime.now() - t0).total_seconds()
+    trainer.logger.finish()
+
+    import csv
+
+    runs = sorted(os.listdir(cfg.train.log_dir))
+    with open(os.path.join(cfg.train.log_dir, runs[-1], "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    first, last = rows[0], rows[-1]
+    return {
+        "date": datetime.datetime.now().isoformat(timespec="seconds"),
+        "git": git_rev(),
+        "device": jax.devices()[0].device_kind,
+        "smoke": smoke,
+        "epochs": len(rows),
+        "wall_seconds": round(wall, 1),
+        "train_L1_first": round(float(first["train_gen_loss_recon_L1"]), 4),
+        "train_L1_last": round(float(last["train_gen_loss_recon_L1"]), 4),
+        "val_psnr_last": round(float(last["val_metric_PSNR"]), 3),
+        "val_ssim_last": round(float(last["val_metric_SSIM"]), 4),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--epochs", type=int, default=4)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny volumes for CPU smoke testing")
+    ap.add_argument("--tolerance", type=float, default=0.5,
+                    help="allowed final-val-PSNR regression (dB)")
+    ap.add_argument("--no-record", action="store_true")
+    args = ap.parse_args()
+
+    record = run(args.epochs, args.smoke)
+    print(json.dumps(record, indent=2))
+
+    history = []
+    if os.path.exists(RECORD_PATH):
+        with open(RECORD_PATH) as f:
+            history = json.load(f)
+    prior = [
+        r for r in history
+        if r.get("smoke") == args.smoke and r["epochs"] == record["epochs"]
+    ]
+    if not args.no_record:
+        history.append(record)
+        with open(RECORD_PATH, "w") as f:
+            json.dump(history, f, indent=2)
+        print(f"recorded to {RECORD_PATH} ({len(history)} records)")
+    if prior:
+        best = max(r["val_psnr_last"] for r in prior)
+        if record["val_psnr_last"] < best - args.tolerance:
+            print(
+                f"REGRESSION: final val PSNR {record['val_psnr_last']} dB "
+                f"< best prior {best} dB - {args.tolerance}"
+            )
+            return 1
+        print(f"no regression (best prior {best} dB)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -48,12 +48,29 @@ def main() -> None:
         help="pretrain(autoencoder) -> transfer -> finetune regime "
         "(MultiInputUNet) instead of direct GAN training",
     )
+    parser.add_argument(
+        "--whole-volume", action="store_true",
+        help="train/evaluate on whole (96,128,128) volumes instead of 64³ "
+        "patches — the TPU fast path (same per-voxel cost as patch mode, "
+        "measured 73 ns/voxel on v5e, with cleaner epoch semantics: one "
+        "optimizer step sees each volume exactly once). Patch parity mode "
+        "remains the default because it reproduces the reference's "
+        "sampling regime (src/data_module.py:152-166) and its "
+        "per-patch InstanceNorm statistics.",
+    )
     args = parser.parse_args()
 
     config = Config()
     if args.config:
         with open(args.config) as f:
             config = Config.from_json(f.read())
+    if args.whole_volume:
+        import dataclasses
+
+        config = dataclasses.replace(
+            config,
+            data=dataclasses.replace(config.data, whole_volume=True),
+        )
 
     # W&B key bootstrap (reference src/train.py:81-84).
     if os.environ.get("WANDB_API_KEY") is None and os.path.exists(

@@ -10,6 +10,9 @@ from unet_bssfp_tpu.parallel.mesh import make_mesh, shard_batch
 from unet_bssfp_tpu.train.state import build_models, create_gan_state
 from unet_bssfp_tpu.train.steps import make_train_step
 
+pytestmark = pytest.mark.slow
+
+
 MCFG = ModelConfig(
     features=(4, 8, 8, 16, 16, 4),
     disc_features=(8, 8, 16),

@@ -31,6 +31,9 @@ from unet_bssfp_tpu.ops.folded import (
     unfold_hw,
 )
 
+pytestmark = pytest.mark.slow
+
+
 OFFSETS = [1, 0, -1, -2, -3]
 
 

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from unet_bssfp_tpu.config import ModelConfig, TrainConfig
 from unet_bssfp_tpu.models.multi_input_unet import TrainingState
@@ -13,6 +14,9 @@ from unet_bssfp_tpu.train.multistage import (
     make_supervised_train_step,
     transfer_params,
 )
+
+pytestmark = pytest.mark.slow
+
 
 MCFG = ModelConfig(compute_dtype="float32")
 TCFG = TrainConfig()

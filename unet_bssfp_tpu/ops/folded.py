@@ -226,9 +226,15 @@ def folded_instance_norm_stats(
     c = c4 // 4
     xr = xf.astype(jnp.float32).reshape(b, d, nh, nw, 4, c)
     s1 = jnp.sum(xr, axis=(1, 2, 3, 4), keepdims=True)     # (b,1,1,1,1,c)
-    s2 = jnp.sum(xr * xr, axis=(1, 2, 3, 4), keepdims=True)
     mean = s1 / count
-    var = s2 / count - mean * mean
+    # Two-pass (mean-subtracted) second moment — the E[x²]−E[x]² form loses
+    # precision by cancellation when |mean| ≫ std. The zero pad slots each
+    # contribute mean² to the centred sum, so subtract them out exactly.
+    n_pad = d * nh * nw * 4 - count
+    cent = jnp.sum(
+        jnp.square(xr - mean), axis=(1, 2, 3, 4), keepdims=True
+    )
+    var = jnp.maximum(cent - n_pad * mean * mean, 0.0) / count
     mean4 = jnp.broadcast_to(mean, (b, 1, 1, 1, 4, c)).reshape(
         b, 1, 1, 1, c4)
     var4 = jnp.broadcast_to(var, (b, 1, 1, 1, 4, c)).reshape(b, 1, 1, 1, c4)
