@@ -185,7 +185,7 @@ def test_gan_train_step_packed_on_mesh():
 
 def test_auto_packed_gate_mesh_aware():
     """ADVICE r2: the packed auto-gate keys on the intended mesh, not the
-    global device count (and space-sharded meshes stay on the XLA path)."""
+    global device count."""
     from unet_bssfp_tpu.config import ModelConfig
     from unet_bssfp_tpu.train.state import auto_packed
 
@@ -195,3 +195,103 @@ def test_auto_packed_gate_mesh_aware():
     assert auto_packed(ModelConfig(packed=False), None) is False
     # CPU backend: auto is off regardless of mesh
     assert auto_packed(mcfg_auto, make_mesh(8)) is False
+    assert auto_packed(
+        mcfg_auto, make_mesh(8, axes=("data", "space"), shape=(4, 2))
+    ) is False
+
+
+# ---------------------------------------------------------------------------
+# space-axis (d-sharded) packed conv with ppermute halo exchange
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def mesh_dp_sp():
+    return make_mesh(8, axes=("data", "space"), shape=(4, 2))
+
+
+def test_conv_space_sharded_matches_plain(mesh_dp_sp):
+    """d sharded over the space axis: halo slices come from the neighbour
+    shard via ppermute, so the result must equal the unsharded conv —
+    including at shard-boundary d positions."""
+    B, D, H, W, CIN, COUT = 8, 8, 4, 32, 3, 4
+    x = _mk((B, D, H, W, CIN), 40)
+    w = _mk((3, 3, 3, CIN, COUT), 41)
+    bias = _mk((COUT,), 42)
+    xk = pack_hw(x)
+    with packed_conv_mesh(mesh_dp_sp, "data", space_axis="space"):
+        got = conv3x3_packed_auto(xk, w, bias, W, True)
+    ref = pack_hw(_plain_conv(x, w, bias))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_conv_space_sharded_grads_match_plain(mesh_dp_sp):
+    """Reverse-mode through the halo exchange: ppermute transposes to the
+    reverse permutation and dw/db psum over both axes."""
+    B, D, H, W, CIN, COUT = 8, 8, 4, 32, 3, 4
+    x = _mk((B, D, H, W, CIN), 43)
+    w = _mk((3, 3, 3, CIN, COUT), 44)
+    bias = _mk((COUT,), 45)
+
+    def loss_sharded(x_, w_, b_):
+        xk = pack_hw(x_)
+        with packed_conv_mesh(mesh_dp_sp, "data", space_axis="space"):
+            y = conv3x3_packed_auto(xk, w_, b_, W, True)
+        return jnp.sum(y * y)
+
+    def loss_plain(x_, w_, b_):
+        y = pack_hw(_plain_conv(x_, w_, b_))
+        return jnp.sum(y * y)
+
+    g_got = jax.grad(loss_sharded, argnums=(0, 1, 2))(x, w, bias)
+    g_ref = jax.grad(loss_plain, argnums=(0, 1, 2))(x, w, bias)
+    for a, b, name in zip(g_got, g_ref, ("dx", "dw", "db")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-4, atol=3e-4,
+            err_msg=name,
+        )
+
+
+def test_conv_space_indivisible_falls_back(mesh_dp_sp):
+    # D=6 does not divide the 2-way space axis → data-only shard_map.
+    B, D, H, W, CIN, COUT = 8, 6, 4, 32, 3, 4
+    x = _mk((B, D, H, W, CIN), 46)
+    w = _mk((3, 3, 3, CIN, COUT), 47)
+    bias = _mk((COUT,), 48)
+    xk = pack_hw(x)
+    with packed_conv_mesh(mesh_dp_sp, "data", space_axis="space"):
+        got = conv3x3_packed_auto(xk, w, bias, W, True)
+    ref = pack_hw(_plain_conv(x, w, bias))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_packed_unet_on_dp_sp_mesh_matches_plain(mesh_dp_sp):
+    """Whole packed U-Net under a ('data','space') mesh: convs halo-exchange
+    over space, pools/norms repartition under GSPMD — output equals the
+    plain model."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from unet_bssfp_tpu.models.unet import BasicUNet3D
+
+    x = _mk((4, 16, 8, 16, 3), 50)
+    kw = dict(out_channels=2, features=(4, 4, 4, 4, 8, 4), dropout=0.0,
+              dtype=jnp.float32, use_fused=False)
+    plain = BasicUNet3D(packed=False, **kw)
+    packed = BasicUNet3D(packed=True, **kw)
+    params = plain.init(jax.random.PRNGKey(51), x, train=False)
+
+    bshard = NamedSharding(mesh_dp_sp, P("data", "space"))
+
+    @jax.jit
+    def apply_packed(p, x_):
+        from unet_bssfp_tpu.ops.pallas.conv3d import packed_conv_mesh as ctx
+
+        with ctx(mesh_dp_sp, "data", space_axis="space"):
+            return packed.apply(p, x_, train=False)
+
+    xs = jax.device_put(x, bshard)
+    got = apply_packed(params, xs)
+    ref = plain.apply(params, x, train=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)

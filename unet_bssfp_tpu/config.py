@@ -114,7 +114,9 @@ class ModelConfig:
     # stages (ops.pallas.conv3d): HBM read once per conv (vs ~27× for XLA's
     # im2col), full MXU lanes — measured 1.9–2.9× fwd+bwd on v5e at the
     # stage shapes. Takes precedence over `folded` where supported.
-    # None = auto (True on TPU, False elsewhere).
+    # None = auto: on TPU for single-chip AND pure data-parallel meshes
+    # (the kernels shard_map over the `data` axis); a `space`-sharded mesh
+    # falls back to the folded XLA path (needs conv halo exchange).
     packed: Optional[bool] = None
 
 

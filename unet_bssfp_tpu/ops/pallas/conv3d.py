@@ -30,7 +30,7 @@ with flipped/transposed weights; dw is a sibling kernel accumulating
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -84,6 +84,27 @@ def _roll_masked(y32, shift, lane, W, HW):
     return out
 
 
+def _roll_w_masked(y32, s, lane, W):
+    """Roll by ``s`` w-lanes (|s| < W) and zero the wrapped w-columns."""
+    if s == 0:
+        return y32
+    out = pltpu.roll(y32, s % y32.shape[1], 1)
+    if s > 0:
+        return jnp.where(lane % W < s, 0.0, out)
+    return jnp.where(lane % W >= W + s, 0.0, out)
+
+
+def _roll_h_masked(y32, sh, lane, W, HW):
+    """Roll by ``sh`` h-rows (sh·W lanes) and zero the wrapped rows. Row
+    rolls preserve lane%W, so w-masks applied before commute with this."""
+    if sh == 0:
+        return y32
+    out = pltpu.roll(y32, (sh * W) % HW, 1)
+    if sh > 0:
+        return jnp.where(lane < sh * W, 0.0, out)
+    return jnp.where(lane >= HW + sh * W, 0.0, out)
+
+
 def _conv_kernel(xp_ref, wstack_ref, bias_ref, out_ref, x_vmem, sem,
                  *, DT, HW, W, CIN, COUT):
     """Grid (B, D//DT). xp_ref: (B, D+2, CIN, HW) in ANY/HBM (d padded).
@@ -110,17 +131,37 @@ def _conv_kernel(xp_ref, wstack_ref, bias_ref, out_ref, x_vmem, sem,
     def body(d, _):
         bmat = x_vmem[pl.ds(d, 3), :, :].reshape(3 * CIN, HW)
         acc = bias_ref[:] * jnp.ones((COUT, HW), jnp.float32)
-        for g0 in range(0, 9, group):
+        if group == 9:
+            # Tree combine: sum the kw taps per kh row first (w-rolls ±1 +
+            # w-masks), then one h-roll ±W per kh row — 8 rolls / 8 masks /
+            # 9 adds instead of 8 rolls / ~12 masks / 9 adds of the flat
+            # form, and the h-masks apply to 3 partial sums, not 6 taps
+            # (w-masks commute with row rolls since lane%W is preserved).
             ys = jax.lax.dot_general(
-                wstack_ref[pl.ds(g0 * COUT, group * COUT), :], bmat,
+                wstack_ref[:], bmat,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (group*COUT, HW): tap blocks (kh, kw) from index g0
-            for j in range(group):
-                kh, kw = divmod(g0 + j, 3)
-                y = ys[j * COUT:(j + 1) * COUT, :]
-                # W_khkw · X(h, w) → out(h - kh + 1, w - kw + 1)
-                acc = acc + _roll_masked(y, (1 - kh, 1 - kw), lane, W, HW)
+            )  # (9*COUT, HW)
+            for kh in range(3):
+                t = None
+                for kw in range(3):
+                    y = ys[(kh * 3 + kw) * COUT:(kh * 3 + kw + 1) * COUT, :]
+                    y = _roll_w_masked(y, 1 - kw, lane, W)
+                    t = y if t is None else t + y
+                acc = acc + _roll_h_masked(t, 1 - kh, lane, W, HW)
+        else:
+            for g0 in range(0, 9, group):
+                ys = jax.lax.dot_general(
+                    wstack_ref[pl.ds(g0 * COUT, group * COUT), :], bmat,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (group*COUT, HW): tap blocks (kh, kw) from index g0
+                for j in range(group):
+                    kh, kw = divmod(g0 + j, 3)
+                    y = ys[j * COUT:(j + 1) * COUT, :]
+                    # W_khkw · X(h, w) → out(h - kh + 1, w - kw + 1)
+                    acc = acc + _roll_masked(
+                        y, (1 - kh, 1 - kw), lane, W, HW)
         out_ref[0, pl.ds(d, 1), :, :] = (
             acc.astype(out_ref.dtype).reshape(1, COUT, HW)
         )
@@ -136,8 +177,13 @@ def _wstack(w: jax.Array, dtype) -> jax.Array:
 
 
 def _conv_fwd_impl(xk: jax.Array, w: jax.Array, bias: jax.Array, wdim: int,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: bool = False, pad_d: bool = True) -> jax.Array:
+    """``pad_d=False``: ``xk`` already carries a 1-slice d halo on each side
+    (space-sharded callers exchange real neighbour slices instead of the
+    SAME zero pad); output D = xk.shape[1] - 2."""
     B, D, CIN, HW = xk.shape
+    if not pad_d:
+        D = D - 2
     assert HW % wdim == 0 and HW % 128 == 0
     COUT = w.shape[4]
     # Mosaic requires sublane dims in multiples of 8 (sub-8 channel counts
@@ -153,7 +199,7 @@ def _conv_fwd_impl(xk: jax.Array, w: jax.Array, bias: jax.Array, wdim: int,
     CIN, COUT = cin8, cout8
     DT = _pick_dt(D, HW, CIN, COUT, xk.dtype.itemsize)
 
-    xp = jnp.pad(xk, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    xp = jnp.pad(xk, ((0, 0), (1, 1), (0, 0), (0, 0))) if pad_d else xk
     wstack = _wstack(w, xk.dtype)
     b_col = bias.reshape(COUT, 1).astype(jnp.float32)
 
@@ -237,8 +283,10 @@ def _dw_kernel(xp_ref, dy_ref, dw_ref, x_vmem, sem,
 
 
 def _dw_impl(xk: jax.Array, dy: jax.Array, wdim: int,
-             interpret: bool = False) -> jax.Array:
+             interpret: bool = False, pad_d: bool = True) -> jax.Array:
     B, D, CIN, HW = xk.shape
+    if not pad_d:
+        D = D - 2
     COUT = dy.shape[2]
     cin8, cout8 = _sub(CIN), _sub(COUT)
     if cin8 != CIN:
@@ -249,7 +297,7 @@ def _dw_impl(xk: jax.Array, dy: jax.Array, wdim: int,
     CIN, COUT = cin8, cout8
     DT = _pick_dt(D, HW, CIN, COUT, xk.dtype.itemsize)
 
-    xp = jnp.pad(xk, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    xp = jnp.pad(xk, ((0, 0), (1, 1), (0, 0), (0, 0))) if pad_d else xk
     kernel = functools.partial(
         _dw_kernel, DT=DT, HW=HW, W=wdim, CIN=CIN, COUT=COUT
     )
@@ -312,6 +360,41 @@ def _vjp_bwd(wdim, interpret, res, dy):
 conv3x3_packed.defvjp(_vjp_fwd, _vjp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3_packed_halo(xp: jax.Array, w: jax.Array, bias: jax.Array,
+                        wdim: int, interpret: bool = False) -> jax.Array:
+    """:func:`conv3x3_packed` on an input that already carries a 1-slice d
+    halo on each side (``xp``: (B, D+2, Cin, H·W) → (B, D, Cout, H·W)).
+
+    Space-sharded callers exchange real neighbour slices over the mesh's
+    ``space`` axis (``jax.lax.ppermute``) instead of the SAME zero pad —
+    the context-parallel analogue for this model family (SURVEY.md §5.7)."""
+    return _conv_fwd_impl(xp, w.astype(xp.dtype), bias, wdim, interpret,
+                          pad_d=False)
+
+
+def _halo_vjp_fwd(xp, w, bias, wdim, interpret):
+    return conv3x3_packed_halo(xp, w, bias, wdim, interpret), (xp, w)
+
+
+def _halo_vjp_bwd(wdim, interpret, res, dy):
+    xp, w = res
+    w_flip_t = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
+    # dxp[j] = Σ_kd w[kd]ᵀ · dy[j-kd], j ∈ [0, D+2): the transposed conv on
+    # dy padded by 2 per side, run through the pre-padded fwd impl.
+    dyp = jnp.pad(dy, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    dxp = _conv_fwd_impl(
+        dyp, w_flip_t.astype(dy.dtype),
+        jnp.zeros((w.shape[3],), jnp.float32), wdim, interpret, pad_d=False,
+    )
+    dw = _dw_impl(xp, dy, wdim, interpret, pad_d=False).astype(w.dtype)
+    db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 3))
+    return dxp.astype(xp.dtype), dw, db.astype(jnp.float32)
+
+
+conv3x3_packed_halo.defvjp(_halo_vjp_fwd, _halo_vjp_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Multi-chip SPMD: shard_map wrappers over the data axis
 # ---------------------------------------------------------------------------
@@ -336,10 +419,17 @@ _CONV_MESH: list = [None]   # [(Mesh, axis)] — innermost active context
 
 class packed_conv_mesh:
     """Context manager: route packed convs through ``shard_map`` over
-    ``mesh``'s ``axis`` while tracing under a multi-device jit."""
+    ``mesh``'s ``axis`` (batch) — and, when ``space_axis`` is given, shard
+    the packed d dim over it with ppermute halo exchange — while tracing
+    under a multi-device jit."""
 
-    def __init__(self, mesh, axis: str = "data"):
-        self.entry = (mesh, axis) if mesh is not None else None
+    def __init__(self, mesh, axis: str = "data",
+                 space_axis: str | None = None):
+        if mesh is not None and space_axis is not None:
+            sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+            if sizes.get(space_axis, 1) <= 1:
+                space_axis = None
+        self.entry = (mesh, axis, space_axis) if mesh is not None else None
 
     def __enter__(self):
         _CONV_MESH.append(self.entry)
@@ -350,16 +440,24 @@ class packed_conv_mesh:
         return False
 
 
-def _active_conv_mesh(batch: int):
-    """(mesh, axis) when an active context shards ``batch`` cleanly."""
+def _active_conv_mesh(batch: int, d: Optional[int] = None):
+    """(mesh, axis, space_axis) when an active context shards ``batch``
+    (and, for the d-sharded variant, ``d``) cleanly."""
     entry = _CONV_MESH[-1]
     if entry is None:
         return None
-    mesh, axis = entry
-    n = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis, 1)
-    if n <= 1 or batch % n != 0:
+    mesh, axis, space_axis = entry
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    n = sizes.get(axis, 1)
+    ns = sizes.get(space_axis, 1) if space_axis else 1
+    if space_axis is not None:
+        if d is None or ns <= 1 or d % ns != 0 or (d // ns) < 1:
+            return None if n <= 1 else (
+                (mesh, axis, None) if batch % n == 0 else None
+            )
+    if n * ns <= 1 or batch % n != 0:
         return None
-    return mesh, axis
+    return mesh, axis, space_axis
 
 
 def _shard_map(f, mesh, in_specs, out_specs):
@@ -378,44 +476,67 @@ def _shard_map(f, mesh, in_specs, out_specs):
 def conv3x3_packed_auto(xk: jax.Array, w: jax.Array, bias: jax.Array,
                         wdim: int, interpret: bool = False) -> jax.Array:
     """:func:`conv3x3_packed`, shard_mapped over the active mesh's data
-    axis when a :class:`packed_conv_mesh` context is set (multi-chip), else
-    the plain kernel."""
-    active = _active_conv_mesh(xk.shape[0])
+    axis — and its ``space`` axis (d-sharded, ppermute halo exchange) when
+    the :class:`packed_conv_mesh` context names one — else the plain
+    kernel."""
+    active = _active_conv_mesh(xk.shape[0], xk.shape[1])
     if active is None:
         return conv3x3_packed(xk, w, bias, wdim, interpret)
-    mesh, axis = active
+    mesh, axis, space_axis = active
     from jax.sharding import PartitionSpec as P
 
-    def f(xk_, w_, b_):
-        return conv3x3_packed(xk_, w_, b_, wdim, interpret)
+    if space_axis is None:
+        def f(xk_, w_, b_):
+            return conv3x3_packed(xk_, w_, b_, wdim, interpret)
+
+        return _shard_map(
+            f, mesh, in_specs=(P(axis), P(), P()), out_specs=P(axis)
+        )(xk, w, bias)
+
+    nspace = dict(zip(mesh.axis_names, mesh.devices.shape))[space_axis]
+
+    def f_halo(xk_loc, w_, b_):
+        # Exchange 1-slice d halos with space neighbours; edge shards
+        # receive zeros from ppermute — exactly the SAME zero pad.
+        fwd = [(i, i + 1) for i in range(nspace - 1)]
+        bwd = [(i + 1, i) for i in range(nspace - 1)]
+        lo = jax.lax.ppermute(xk_loc[:, -1:], space_axis, fwd)
+        hi = jax.lax.ppermute(xk_loc[:, :1], space_axis, bwd)
+        xp = jnp.concatenate([lo, xk_loc, hi], axis=1)
+        return conv3x3_packed_halo(xp, w_, b_, wdim, interpret)
 
     return _shard_map(
-        f, mesh, in_specs=(P(axis), P(), P()), out_specs=P(axis)
+        f_halo, mesh,
+        in_specs=(P(axis, space_axis), P(), P()),
+        out_specs=P(axis, space_axis),
     )(xk, w, bias)
 
 
 def pack_hw_auto(x: jax.Array) -> jax.Array:
-    """:func:`pack_hw` under the active data-axis shard_map context."""
-    active = _active_conv_mesh(x.shape[0])
+    """:func:`pack_hw` under the active shard_map context (per-(b,d) op —
+    no halo needed on either axis)."""
+    active = _active_conv_mesh(x.shape[0], x.shape[1])
     if active is None:
         return pack_hw(x)
-    mesh, axis = active
+    mesh, axis, space_axis = active
     from jax.sharding import PartitionSpec as P
 
-    return _shard_map(pack_hw, mesh, in_specs=(P(axis),),
-                      out_specs=P(axis))(x)
+    spec = P(axis, space_axis) if space_axis else P(axis)
+    return _shard_map(pack_hw, mesh, in_specs=(spec,),
+                      out_specs=spec)(x)
 
 
 def unpack_hw_auto(xk: jax.Array, wdim: int) -> jax.Array:
-    """:func:`unpack_hw` under the active data-axis shard_map context."""
-    active = _active_conv_mesh(xk.shape[0])
+    """:func:`unpack_hw` under the active shard_map context."""
+    active = _active_conv_mesh(xk.shape[0], xk.shape[1])
     if active is None:
         return unpack_hw(xk, wdim)
-    mesh, axis = active
+    mesh, axis, space_axis = active
     from jax.sharding import PartitionSpec as P
 
+    spec = P(axis, space_axis) if space_axis else P(axis)
     return _shard_map(lambda a: unpack_hw(a, wdim), mesh,
-                      in_specs=(P(axis),), out_specs=P(axis))(xk)
+                      in_specs=(spec,), out_specs=spec)(xk)
 
 
 # ---------------------------------------------------------------------------

@@ -52,10 +52,10 @@ def auto_packed(mcfg: ModelConfig, mesh=None) -> bool:
 
     - explicit ``mcfg.packed`` always wins;
     - no mesh: packed iff a single TPU chip is attached;
-    - a mesh: packed on TPU for pure data-parallel meshes — the kernels are
-      shard_mapped over the ``data`` axis (``ops.pallas.conv3d``,
-      ``packed_conv_mesh``); a ``space``-sharded mesh needs conv halo
-      exchange, which only the pure-XLA folded path provides → packed off.
+    - a mesh: packed on TPU — the kernels shard_map over the ``data`` axis,
+      and over a ``space`` axis with ppermute d-halo exchange
+      (``ops.pallas.conv3d``, ``packed_conv_mesh``); shapes that do not
+      divide an axis fall back per-conv inside the wrapper.
     """
     if mcfg.packed is not None:
         return mcfg.packed
@@ -64,8 +64,7 @@ def auto_packed(mcfg: ModelConfig, mesh=None) -> bool:
         return False
     if mesh is None:
         return len(jax.devices()) == 1
-    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    return sizes.get("space", 1) == 1
+    return True
 
 
 def build_models(modality: str, mcfg: ModelConfig, mesh=None):

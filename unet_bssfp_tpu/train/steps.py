@@ -254,12 +254,16 @@ def make_train_step(
 
 def _with_conv_mesh(fn, mesh):
     """Trace ``fn`` under :class:`packed_conv_mesh` so packed Pallas convs
-    shard_map themselves over the mesh's ``data`` axis (multi-chip support
-    for the opaque custom calls — see ``ops.pallas.conv3d``)."""
+    shard_map themselves over the mesh's ``data`` axis — and, on a
+    ``('data','space')`` mesh, shard the packed d dim over ``space`` with
+    ppermute halo exchange (multi-chip support for the opaque custom calls
+    — see ``ops.pallas.conv3d``)."""
     from unet_bssfp_tpu.ops.pallas.conv3d import packed_conv_mesh
 
+    space = "space" if "space" in mesh.axis_names else None
+
     def wrapped(*args):
-        with packed_conv_mesh(mesh, "data"):
+        with packed_conv_mesh(mesh, "data", space_axis=space):
             return fn(*args)
 
     return wrapped
