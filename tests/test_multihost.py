@@ -111,7 +111,12 @@ def test_two_process_training_matches_single(bids_root, tmp_path):
         packed=False,
         folded=False,
     )
-    tcfg = TrainConfig(rng_impl="")
+    # lr=1e-6: the disc loss sees the *updated* G, and early AdamW is
+    # ≈ sign descent — cross-process gradient-reduction-order noise flips
+    # near-zero-gradient signs, so parameter deltas are ±2·lr regardless of
+    # how small the noise is (same property test_torch_parity documents).
+    # A small lr keeps that amplification below the metric tolerance.
+    tcfg = TrainConfig(rng_impl="", lr=1e-6)
     state = create_gan_state(
         jax.random.PRNGKey(0), "dwi-tensor", mcfg, tcfg, patch_size=16
     )

@@ -356,7 +356,7 @@ def _torch_gan_step(tgen, tdisc, opt_g, opt_d, x, y, tcfg):
 
 
 @pytest.mark.slow
-def test_optimizer_trajectory_parity(rng):
+def test_optimizer_trajectory_parity():
     """5 full GAN steps: both losses within 1e-3 of torch at every step, and
     the generator's eval-mode output within 1e-3 after the last step — the
     BASELINE.json north star measured on the training trajectory.
@@ -406,6 +406,10 @@ def test_optimizer_trajectory_parity(rng):
         eps=1e-8, weight_decay=tcfg.weight_decay,
     )
 
+    # Own fixed-seed stream (NOT the session-scoped ``rng`` fixture): the
+    # trajectory is tolerance-marginal by design (see docstring), so the
+    # data must not depend on which other tests ran first.
+    rng = np.random.default_rng(1234)
     n_steps = 5
     xs = rng.random((n_steps, 2, PATCH, PATCH, PATCH, 24)).astype(np.float32)
     ys = rng.random((n_steps, 2, PATCH, PATCH, PATCH, 6)).astype(np.float32)

@@ -118,6 +118,14 @@ class ModelConfig:
     # (the kernels shard_map over the `data` axis); a `space`-sharded mesh
     # falls back to the folded XLA path (needs conv halo exchange).
     packed: Optional[bool] = None
+    # Shifted space-to-depth formulation for the discriminator's k4s2
+    # convs (ops.folded.conv_k4s2_folded): same FLOPs, 8× the MXU reduction
+    # lanes at small Cin. MEASURED SLOWER on v5e (scripts/disc_conv_probe
+    # r3: 0.34×/0.65× fwd+bwd at the dominant 64³/32³ stages — the s2d
+    # gather costs more HBM traffic than the widened GEMM saves), so auto
+    # resolves to False; kept as an opt-in formulation for study. Param
+    # trees identical either way.
+    disc_folded: Optional[bool] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -25,10 +25,16 @@ from unet_bssfp_tpu.models.layers import ConvBlock
 
 
 class Discriminator(nn.Module):
+    """``folded``: compute the k4s2 convs as shifted space-to-depth + dense
+    2³ convs (``ops.folded.conv_k4s2_folded``) — same FLOPs, 8× the MXU
+    reduction lanes at the small-Cin early stages. Param trees are identical
+    either way (checkpoint-interchangeable)."""
+
     modality: str = "pc-bssfp"
     features: Tuple[int, ...] = (32, 64, 128, 256, 512)
     negative_slope: float = 0.2
     dtype: Optional[Any] = None
+    folded: bool = False
 
     @nn.compact
     def __call__(
@@ -45,6 +51,7 @@ class Discriminator(nn.Module):
             batchnorm=False,
             negative_slope=self.negative_slope,
             dtype=self.dtype,
+            folded=self.folded,
             name=f"d1_{HEAD_GROUPS[self.modality]}",
         )(h, train)
         for i, feat in enumerate(self.features[1:], start=2):
@@ -52,6 +59,7 @@ class Discriminator(nn.Module):
                 feat,
                 negative_slope=self.negative_slope,
                 dtype=self.dtype,
+                folded=self.folded,
                 name=f"d{i}",
             )(h, train)
         return nn.Conv(

@@ -67,12 +67,41 @@ class InstanceNorm(nn.Module):
         return y.astype(dtype)
 
 
+class _FoldedConvK4S2(nn.Module):
+    """k4/s2/p1 conv via ``ops.folded.conv_k4s2_folded`` (shifted
+    space-to-depth + dense 2³ conv — same FLOPs, 8× the reduction lanes).
+    Parameter tree and shapes are identical to ``nn.Conv`` so checkpoints
+    are interchangeable with the plain path."""
+
+    features: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from unet_bssfp_tpu.ops.folded import conv_k4s2_folded
+
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (4, 4, 4, cin, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        dtype = self.dtype or x.dtype
+        return conv_k4s2_folded(
+            x.astype(dtype), kernel.astype(dtype), bias.astype(dtype)
+        )
+
+
 class ConvBlock(nn.Module):
     """``DownSampleConv`` equivalent (reference ``src/model.py:42-65``):
     Conv3d + optional BatchNorm3d + LeakyReLU(negative_slope).
 
     Defaults k=4/s=2/p=1 (strided downsampling); the per-modality input heads
     use k=1/s=1/p=0 (reference ``src/model.py:19-21``).
+
+    ``folded``: route a k4/s2/p1 conv through the shifted-s2d formulation
+    (TPU: fills the MXU reduction dim at small Cin). Falls back to the plain
+    conv for other geometries or odd spatial extents.
     """
 
     features: int
@@ -83,17 +112,26 @@ class ConvBlock(nn.Module):
     batchnorm: bool = True
     negative_slope: float = 0.2
     dtype: Optional[Dtype] = None
+    folded: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        x = nn.Conv(
-            self.features,
-            kernel_size=(self.kernel,) * 3,
-            strides=(self.stride,) * 3,
-            padding=self.padding,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        use_folded = (
+            self.folded
+            and (self.kernel, self.stride, self.padding) == (4, 2, 1)
+            and all(s % 2 == 0 for s in x.shape[1:4])
+        )
+        if use_folded:
+            x = _FoldedConvK4S2(self.features, self.dtype, name="conv")(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=(self.kernel,) * 3,
+                strides=(self.stride,) * 3,
+                padding=self.padding,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         if self.batchnorm:
             x = nn.BatchNorm(
                 use_running_average=not train,

@@ -239,3 +239,64 @@ def folded_instance_norm_stats(
         b, 1, 1, 1, c4)
     var4 = jnp.broadcast_to(var, (b, 1, 1, 1, 4, c)).reshape(b, 1, 1, 1, c4)
     return mean4, var4
+
+
+# ---------------------------------------------------------------------------
+# Discriminator k4s2: shifted space-to-depth + dense 2-cube conv
+# ---------------------------------------------------------------------------
+
+def shifted_s2d_k4(x: jax.Array) -> jax.Array:
+    """(B,D,H,W,C) → (B,D/2+1,H/2+1,W/2+1,8C): slot (q, p) = x(2q + p - 1)
+    per axis (zero-padded borders), phase layout pw-major / pd-minor.
+
+    A k=4 / stride-2 / pad-1 conv (the PatchGAN ``DownSampleConv``,
+    reference ``src/model.py:42-65``) reads input groups offset by one voxel
+    from the output grid; this *shifted* fold makes each folded-axis tap
+    extent exactly 2, so the folded kernel is fully dense — identical FLOPs,
+    8× more input channels for the MXU's 128-lane reduction dim.
+    """
+    b, d, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (1, 1), (0, 0)))
+
+    def fold_axis(a, axis, n_half):
+        sl0 = [slice(None)] * a.ndim
+        sl1 = [slice(None)] * a.ndim
+        # one extra cell at the high end for the t=1 tap
+        sl0[axis] = slice(0, 2 * (n_half + 1), 2)   # p=0: xp[0,2,4..]
+        sl1[axis] = slice(1, 2 * (n_half + 1), 2)   # p=1: xp[1,3,5..]
+        return jnp.concatenate([a[tuple(sl0)], a[tuple(sl1)]], axis=-1)
+
+    y = fold_axis(xp, 1, d // 2)
+    y = fold_axis(y, 2, h // 2)
+    y = fold_axis(y, 3, w // 2)
+    return y
+
+
+def fold_kernel_k4s2(w: jax.Array) -> jax.Array:
+    """(4,4,4,Cin,Cout) → (2,2,2,8·Cin,Cout) matching
+    :func:`shifted_s2d_k4`'s phase layout (original tap k = 2t + p per
+    axis; folded channel block index = pw·4 + ph·2 + pd)."""
+    cin, cout = w.shape[3], w.shape[4]
+    wr = w.reshape(2, 2, 2, 2, 2, 2, cin, cout)  # (td,pd,th,ph,tw,pw,ci,co)
+    wt = jnp.transpose(wr, (0, 2, 4, 5, 3, 1, 6, 7))
+    return wt.reshape(2, 2, 2, 8 * cin, cout)
+
+
+def conv_k4s2_folded(x: jax.Array, w: jax.Array,
+                     bias: jax.Array | None = None) -> jax.Array:
+    """k=4 / stride-2 / pad-1 conv computed as shifted s2d + dense 2³ VALID
+    conv. Bit-comparable to the plain conv (up to float summation order);
+    requires even spatial extents. ``w``: (4,4,4,Cin,Cout) plain layout —
+    checkpoints stay interchangeable with the plain path."""
+    assert all(s % 2 == 0 for s in x.shape[1:4]), (
+        f"conv_k4s2_folded needs even spatial dims, got {x.shape[1:4]}"
+    )
+    xf = shifted_s2d_k4(x)
+    wf = fold_kernel_k4s2(w.astype(x.dtype))
+    y = jax.lax.conv_general_dilated(
+        xf, wf, (1, 1, 1), "VALID",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y

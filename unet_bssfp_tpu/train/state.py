@@ -92,11 +92,17 @@ def build_models(modality: str, mcfg: ModelConfig, mesh=None):
         folded=folded,
         packed=packed,
     )
+    # auto = False: measured 0.34–0.65× fwd+bwd vs XLA's plain k4s2 at the
+    # dominant disc stages on v5e (scripts/disc_conv_probe.py, round 3).
+    disc_folded = (
+        mcfg.disc_folded if mcfg.disc_folded is not None else False
+    )
     disc = Discriminator(
         modality=modality,
         features=mcfg.disc_features,
         negative_slope=mcfg.disc_negative_slope,
         dtype=dtype,
+        folded=disc_folded,
     )
     return gen, disc
 
