@@ -283,7 +283,8 @@ def test_perceptual_distance_chunked_matches(net_vars, rng):
     a = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 3)).astype(np.float32))
     b = jnp.asarray(rng.normal(size=(2, 16, 16, 16, 3)).astype(np.float32))
     full = perceptual_distance(net, variables, a, b)
-    chunked = perceptual_distance(net, variables, a, b, chunk=4)
+    # chunk must divide the per-side slab count C·N = 6 to engage lax.map
+    chunked = perceptual_distance(net, variables, a, b, chunk=3)
     np.testing.assert_allclose(
         np.asarray(full), np.asarray(chunked), rtol=2e-5, atol=1e-7
     )
@@ -332,3 +333,49 @@ def test_medicalnet_phase_split_network_equivalence(rng):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+@pytest.mark.parametrize("shape", [(2, 16, 16, 16, 1), (2, 10, 14, 16, 1),
+                                   (1, 15, 16, 17, 1)])
+def test_stem_conv_custom_vjp_matches_xla(rng, shape):
+    """The phase-split backward-data rule for the 7³/s2 stem must match
+    XLA's transposed-conv gradient bit-for-bit (even extents engage the
+    phase path; odd extents exercise the fallback)."""
+    from unet_bssfp_tpu.models.medicalnet import _stem_conv, _stem_impl
+
+    x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+    k = jnp.asarray(
+        0.05 * rng.standard_normal((7, 7, 7, 1, 8)).astype(np.float32))
+
+    def loss_custom(x, k):
+        y = _stem_conv(x, k)
+        return jnp.sum(y * y)
+
+    def loss_plain(x, k):
+        y = _stem_impl(x, k)
+        return jnp.sum(y * y)
+
+    fwd_c = jax.jit(_stem_conv)(x, k)
+    fwd_p = jax.jit(_stem_impl)(x, k)
+    np.testing.assert_array_equal(np.asarray(fwd_c), np.asarray(fwd_p))
+
+    gx_c, gk_c = jax.jit(jax.grad(loss_custom, argnums=(0, 1)))(x, k)
+    gx_p, gk_p = jax.jit(jax.grad(loss_plain, argnums=(0, 1)))(x, k)
+    np.testing.assert_allclose(
+        np.asarray(gx_c), np.asarray(gx_p), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(gk_c), np.asarray(gk_p), rtol=1e-5, atol=1e-5)
+
+
+def test_perceptual_distance_grad_flows_pred_only(net_vars, rng):
+    """The target side is data: its gradient must be exactly zero, and the
+    pred gradient finite and nonzero (stop_gradient + split-call path)."""
+    net, variables = net_vars
+    a = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 2)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((1, 16, 16, 16, 2)).astype(np.float32))
+    ga, gb = jax.grad(
+        lambda p, t: perceptual_distance(net, variables, p, t),
+        argnums=(0, 1))(a, b)
+    assert np.all(np.isfinite(np.asarray(ga)))
+    assert float(jnp.sum(jnp.abs(ga))) > 0
+    np.testing.assert_array_equal(np.asarray(gb), 0.0)

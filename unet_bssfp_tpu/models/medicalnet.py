@@ -181,6 +181,92 @@ class _DilatedConv(nn.Module):
         )
 
 
+def _stem_impl(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    return jax.lax.conv_general_dilated(
+        x, kernel, (2, 2, 2), padding=[(3, 3)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def _stem_phase_kernels(kernel: jax.Array) -> jax.Array:
+    """Dense 4³ backward-data kernel for the 7³/stride-2/pad-3 stem.
+
+    The transposed-conv dx XLA emits for the stem is MXU-hostile (input
+    dilation 2, a single output channel): measured 58 ms at the parity shape
+    on v5e.  But per axis, output position ``i = 2q + p`` only receives taps
+    ``t = p + 5 - 2a`` from the 4-wide dy window ``a = j - q + 1 ∈ [0..3]``
+    — so dx is one *dense* 4³ conv with 8 output channels (one per parity
+    phase) followed by depth-to-space: 11.7 ms, bit-identical output
+    (scripts/stem_dx_probe.py).
+
+    kernel (7,7,7,1,CO) → phase kernel (4,4,4,CO,8), phase = pd·4+ph·2+pw.
+    """
+    kp = jnp.pad(kernel[..., 0, :], ((1, 0), (1, 0), (1, 0), (0, 0)))
+    # padded tap index t+1 = p + 6 - 2a for window pos a=0..3
+    idx = (jnp.array([6, 4, 2, 0]), jnp.array([7, 5, 3, 1]))
+    phases = []
+    for pd in range(2):
+        gd = jnp.take(kp, idx[pd], axis=0)
+        for ph in range(2):
+            gh = jnp.take(gd, idx[ph], axis=1)
+            for pw in range(2):
+                phases.append(jnp.take(gh, idx[pw], axis=2))  # (4,4,4,CO)
+    return jnp.stack(phases, axis=-1)  # (4,4,4,CO,8)
+
+
+@jax.custom_vjp
+def _stem_conv(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    """7³/stride-2/pad-3 stem conv with a phase-split backward-data rule."""
+    return _stem_impl(x, kernel)
+
+
+def _stem_conv_fwd(x, kernel):
+    return _stem_impl(x, kernel), (x, kernel)
+
+
+def _stem_conv_bwd(res, dy):
+    x, kernel = res
+    # dw through the standard rule — dead-code-eliminated by XLA whenever
+    # the perceptual net is frozen (its params carry no cotangent).
+    _, kvjp = jax.vjp(lambda k: _stem_impl(x, k), kernel)
+    dw, = kvjp(dy)
+    d_, h_, w_ = x.shape[1:4]
+    if x.shape[-1] == 1 and d_ % 2 == 0 and h_ % 2 == 0 and w_ % 2 == 0:
+        pk = _stem_phase_kernels(kernel).astype(dy.dtype)
+        ph = jax.lax.conv_general_dilated(
+            dy, pk, (1, 1, 1), padding=[(1, 2)] * 3,
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+        )  # (N, D/2, H/2, W/2, 8)
+        n, dd, hh, ww, _ = ph.shape
+        ph = ph.reshape(n, dd, hh, ww, 2, 2, 2)
+        ph = jnp.transpose(ph, (0, 1, 4, 2, 5, 3, 6))
+        dx = ph.reshape(n, 2 * dd, 2 * hh, 2 * ww, 1)
+    else:  # odd extents / multi-channel: keep XLA's rule
+        _, xvjp = jax.vjp(lambda xx: _stem_impl(xx, kernel), x)
+        dx, = xvjp(dy)
+    return dx.astype(x.dtype), dw
+
+
+_stem_conv.defvjp(_stem_conv_fwd, _stem_conv_bwd)
+
+
+class _StemConv(nn.Module):
+    """``nn.Conv``-compatible stem (param path ``kernel``, lecun init, no
+    bias) routing through :func:`_stem_conv` for the fast backward."""
+
+    features: int = 64
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (7, 7, 7, x.shape[-1], self.features),
+        )
+        dtype = self.dtype or x.dtype
+        return _stem_conv(x.astype(dtype), kernel.astype(dtype))
+
+
 class BasicBlock3D(nn.Module):
     features: int
     stride: int = 1
@@ -260,10 +346,7 @@ class MedicalNetResNet10(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         assert x.shape[-1] == 1, "MedicalNet expects single-channel volumes"
-        y = nn.Conv(
-            64, kernel_size=(7, 7, 7), strides=(2, 2, 2), padding=3,
-            use_bias=False, dtype=self.dtype, name="conv1",
-        )(x)
+        y = _StemConv(64, dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
             dtype=self.dtype, name="bn1",
@@ -400,30 +483,48 @@ def perceptual_distance(
     the reference's ``PerceptualLoss`` (``src/model.py:127-129``):
     per-volume intensity z-norm → per-channel features → channel-unit-normalise
     → squared difference → sum over feature channels → spatial+batch mean.
+
+    ``target`` is treated as ground-truth data: its feature path runs under
+    ``stop_gradient`` (gradients flow through ``pred`` only — exactly what
+    the GAN step consumes, and it halves the backward's dx conv batch).
     """
 
     from unet_bssfp_tpu.ops.metrics import znorm
 
     n, c = pred.shape[0], pred.shape[-1]
     zp, zt = znorm(pred), znorm(target)
-    # One batched net call instead of 2·C sequential ones: stack every
-    # (volume, channel) single-channel input on the batch axis — identical
-    # math, ~2× fewer launches and much better utilisation on TPU.
-    slabs = [zp[..., i:i + 1] for i in range(c)]
-    slabs += [zt[..., i:i + 1] for i in range(c)]
-    stacked = jnp.concatenate(slabs, axis=0)  # (2*C*N, d, h, w, 1)
-    if chunk and stacked.shape[0] > chunk and stacked.shape[0] % chunk == 0:
-        # Bound peak activation memory: the single 2·C·N batch grows the
-        # stem/pool activations ~2·C× vs the sequential form — at whole-
-        # volume sizes that can exceed HBM. lax.map over ``chunk``-sized
-        # groups trades a few launches for bounded peak memory.
-        groups = stacked.reshape(-1, chunk, *stacked.shape[1:])
-        feats = jax.lax.map(
-            lambda g: net.apply(variables, g, train=False), groups
-        )
-        feats = feats.reshape(-1, *feats.shape[2:])
-    else:
-        feats = net.apply(variables, stacked, train=False)
+
+    def to_slabs(z):
+        # Channel→batch: one batched net call per side instead of C
+        # sequential ones — identical math, far better TPU utilisation.
+        # The optimization_barrier matters: without it XLA fuses this
+        # minor-dim gather into the stem conv's im2col and the conv runs
+        # ~1.8× slower than gather + conv separately (measured on v5e,
+        # scripts/perceptual_pieces.py).
+        slabs = jnp.concatenate(
+            [z[..., i:i + 1] for i in range(c)], axis=0)  # (C*N, d,h,w, 1)
+        return jax.lax.optimization_barrier(slabs)
+
+    def features(slabs):
+        if chunk and slabs.shape[0] > chunk and slabs.shape[0] % chunk == 0:
+            # Bound peak activation memory: the single C·N batch grows the
+            # stem/pool activations ~C× vs the sequential form — at whole-
+            # volume sizes that can exceed HBM. lax.map over ``chunk``-sized
+            # groups trades a few launches for bounded peak memory.
+            groups = slabs.reshape(-1, chunk, *slabs.shape[1:])
+            f = jax.lax.map(
+                lambda g: net.apply(variables, g, train=False), groups
+            )
+            return f.reshape(-1, *f.shape[2:])
+        return net.apply(variables, slabs, train=False)
+
+    # Separate net calls for pred and target: the target side carries no
+    # gradient (it is data), and splitting the calls lets XLA skip the dx
+    # convs for that half of the batch — the backward is ~2× cheaper than
+    # one fused 2·C·N call (measured ~76 → ~40 ms at the parity shape).
+    fp = features(to_slabs(zp))
+    ft = jax.lax.stop_gradient(features(to_slabs(zt)))
+    feats = jnp.concatenate([fp, ft], axis=0)
     # feats: (2*C*N, d', h', w', F)
 
     def unit(f):
