@@ -497,12 +497,14 @@ def perceptual_distance(
     def to_slabs(z):
         # Channel→batch: one batched net call per side instead of C
         # sequential ones — identical math, far better TPU utilisation.
-        # The optimization_barrier matters: without it XLA fuses this
-        # minor-dim gather into the stem conv's im2col and the conv runs
-        # ~1.8× slower than gather + conv separately (measured on v5e,
-        # scripts/perceptual_pieces.py).
-        slabs = jnp.concatenate(
-            [z[..., i:i + 1] for i in range(c)], axis=0)  # (C*N, d,h,w, 1)
+        # moveaxis lowers to a single XLA transpose (0.28 ms vs 1.48 ms for
+        # the per-channel slice-concat at the parity shape,
+        # scripts/stack_probe.py). The optimization_barrier matters: without
+        # it XLA fuses the relayout into the stem conv's im2col and the conv
+        # runs ~1.8× slower (measured on v5e, scripts/perceptual_pieces.py).
+        zn_, d_, h_, w_, c_ = z.shape
+        slabs = jnp.moveaxis(z, -1, 0).reshape(
+            c_ * zn_, d_, h_, w_, 1)  # (C*N, d, h, w, 1), order (c, n)
         return jax.lax.optimization_barrier(slabs)
 
     def features(slabs):
