@@ -338,9 +338,10 @@ def test_medicalnet_phase_split_network_equivalence(rng):
 @pytest.mark.parametrize("shape", [(2, 16, 16, 16, 1), (2, 10, 14, 16, 1),
                                    (1, 15, 16, 17, 1)])
 def test_stem_conv_custom_vjp_matches_xla(rng, shape):
-    """The phase-split backward-data rule for the 7³/s2 stem must match
-    XLA's transposed-conv gradient bit-for-bit (even extents engage the
-    phase path; odd extents exercise the fallback)."""
+    """The s2d forward and w-packed phase-split backward-data rule for the
+    7³/s2 stem must match XLA's plain conv + transposed-conv gradient (even
+    extents engage the reformulated path — exact math, f32 rounding only;
+    odd extents exercise the bit-identical fallback)."""
     from unet_bssfp_tpu.models.medicalnet import _stem_conv, _stem_impl
 
     x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
@@ -357,14 +358,20 @@ def test_stem_conv_custom_vjp_matches_xla(rng, shape):
 
     fwd_c = jax.jit(_stem_conv)(x, k)
     fwd_p = jax.jit(_stem_impl)(x, k)
-    np.testing.assert_array_equal(np.asarray(fwd_c), np.asarray(fwd_p))
+    np.testing.assert_allclose(
+        np.asarray(fwd_c), np.asarray(fwd_p), rtol=1e-5, atol=1e-5)
 
     gx_c, gk_c = jax.jit(jax.grad(loss_custom, argnums=(0, 1)))(x, k)
     gx_p, gk_p = jax.jit(jax.grad(loss_plain, argnums=(0, 1)))(x, k)
     np.testing.assert_allclose(
         np.asarray(gx_c), np.asarray(gx_p), rtol=1e-5, atol=1e-5)
+    # dw contracts the (rounding-perturbed) dy=2y over the whole batch, so
+    # the s2d forward's f32 reassociation accumulates: compare relative to
+    # the gradient's scale rather than elementwise 1e-5.
+    scale = np.abs(np.asarray(gk_p)).max()
     np.testing.assert_allclose(
-        np.asarray(gk_c), np.asarray(gk_p), rtol=1e-5, atol=1e-5)
+        np.asarray(gk_c) / scale, np.asarray(gk_p) / scale,
+        rtol=0, atol=3e-6)
 
 
 def test_perceptual_distance_grad_flows_pred_only(net_vars, rng):

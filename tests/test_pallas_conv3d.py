@@ -183,3 +183,34 @@ def test_pack_roundtrip_and_gate():
     assert not packed_supported((8, 64, 64, 63, 24))   # W not in {32,64,128}
     assert not packed_supported((8, 64, 63, 64, 24))   # H % P != 0
     assert not packed_supported((8, 16, 16, 16, 256))  # C > 128
+
+
+def test_packed_max_pool2_vjp_first_match_ties():
+    """The custom pool backward must reproduce XLA select-and-scatter
+    semantics exactly — including ties, which route ALL gradient to the
+    first matching window position in (d, h, w) row-major order (quantized
+    bf16-like activations tie often)."""
+    from jax import lax
+
+    from unet_bssfp_tpu.models.packed_layers import packed_max_pool2
+
+    rng = np.random.default_rng(7)
+    # heavy quantization → many exact ties inside 2×2×2 windows
+    xk = jnp.asarray(
+        np.round(rng.standard_normal((2, 8, 16, 8 * 8)) * 1.5) / 1.5
+    ).astype(jnp.float32)
+
+    def pool_ref(x):
+        b, d, c, hw = x.shape
+        w = 8
+        h = hw // w
+        xn = jnp.transpose(x.reshape(b, d, c, h, w), (0, 1, 3, 4, 2))
+        return lax.reduce_window(
+            xn, -jnp.inf, lax.max, (1, 2, 2, 2, 1), (1, 2, 2, 2, 1), "VALID")
+
+    y = packed_max_pool2(xk, 8)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(pool_ref(xk)))
+
+    g_custom = jax.grad(lambda x: jnp.sum(packed_max_pool2(x, 8) ** 2))(xk)
+    g_xla = jax.grad(lambda x: jnp.sum(pool_ref(x) ** 2))(xk)
+    np.testing.assert_array_equal(np.asarray(g_custom), np.asarray(g_xla))

@@ -188,6 +188,55 @@ def _stem_impl(x: jax.Array, kernel: jax.Array) -> jax.Array:
     )
 
 
+def _stem_gate(x: jax.Array) -> bool:
+    return x.shape[-1] == 1 and all(s % 2 == 0 for s in x.shape[1:4])
+
+
+def _stem_s2d_kernels(kernel: jax.Array) -> jax.Array:
+    """Dense space-to-depth kernel for the 7³/stride-2/pad-3 stem forward.
+
+    Per axis, output ``o`` reads input ``i = 2o-3+t``; writing ``i = 2q+p``
+    (phase p, coarse q) gives ``t = 2(q-o) + 3 + p`` — so each input phase
+    contributes through a ≤4-tap *dense* (stride-1) kernel over the coarse
+    grid (window ``q-o ∈ [-2..1]``, i.e. conv padding (2,1)).  One dense 4³
+    conv over the 8-phase s2d input replaces the strided 7³ im2col XLA lowers
+    poorly (K=343·1 → K=4³·8=512 MXU-aligned): 7.0 → 2.5 ms for 48 64³ slabs
+    on v5e (scripts/stem_s2d_probe.py), same values within f32 rounding.
+
+    kernel (7,7,7,1,CO) → s2d kernel (4,4,4,8,CO), phase = pd·4+ph·2+pw.
+    """
+    kp = jnp.pad(kernel[..., 0, :], ((1, 0), (1, 0), (1, 0), (0, 0)))
+    # window position a=0..3 ↔ padded tap index t+1 = 2a+p
+    idx = (jnp.array([0, 2, 4, 6]), jnp.array([1, 3, 5, 7]))
+    phases = []
+    for pd in range(2):
+        gd = jnp.take(kp, idx[pd], axis=0)
+        for ph in range(2):
+            gh = jnp.take(gd, idx[ph], axis=1)
+            for pw in range(2):
+                phases.append(jnp.take(gh, idx[pw], axis=2))  # (4,4,4,CO)
+    return jnp.stack(phases, axis=-2)  # (4,4,4,8,CO)
+
+
+def _to_s2d(x: jax.Array) -> jax.Array:
+    n, d, h, w, _ = x.shape
+    xs = x.reshape(n, d // 2, 2, h // 2, 2, w // 2, 2)
+    xs = jnp.transpose(xs, (0, 1, 3, 5, 2, 4, 6))
+    return xs.reshape(n, d // 2, h // 2, w // 2, 8)
+
+
+def _stem_s2d(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    ks = _stem_s2d_kernels(kernel).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        _to_s2d(x), ks, (1, 1, 1), padding=[(2, 1)] * 3,
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+    )
+
+
+def _stem_impl_any(x: jax.Array, kernel: jax.Array) -> jax.Array:
+    return _stem_s2d(x, kernel) if _stem_gate(x) else _stem_impl(x, kernel)
+
+
 def _stem_phase_kernels(kernel: jax.Array) -> jax.Array:
     """Dense 4³ backward-data kernel for the 7³/stride-2/pad-3 stem.
 
@@ -214,14 +263,36 @@ def _stem_phase_kernels(kernel: jax.Array) -> jax.Array:
     return jnp.stack(phases, axis=-1)  # (4,4,4,CO,8)
 
 
+def _stem_wpack_kernels(pk: jax.Array, P: int) -> jax.Array:
+    """Widened backward-data kernel: ``P`` adjacent w outputs per GEMM.
+
+    The dense phase conv has only 8 output channels (8/128 MXU lanes);
+    computing w outputs ``P·g + j`` together widens the w extent to ``P+3``
+    (stride ``P``) with ``8P`` output channels — (P+3)/4× FLOPs for ``P``×
+    the lanes.  P=16: 9.1 → 6.4 ms at the 48×64³ parity shape
+    (scripts/stem_s2d_probe.py), bit-identical output.
+
+    pk (4,4,4,CI,8) → (4,4,P+3,CI,8P) with
+    K'[.., aw, ci, j·8+ph] = pk[.., aw-j, ci, ph] for 0 ≤ aw-j < 4.
+    """
+    a4, _, _, ci, co8 = pk.shape
+    cols = [
+        jnp.pad(pk, ((0, 0), (0, 0), (j, P - 1 - j), (0, 0), (0, 0)))
+        for j in range(P)
+    ]
+    kw = jnp.stack(cols, axis=-2)              # (4,4,P+3,CI,P,8)
+    return kw.reshape(a4, a4, P + 3, ci, P * co8)
+
+
 @jax.custom_vjp
 def _stem_conv(x: jax.Array, kernel: jax.Array) -> jax.Array:
-    """7³/stride-2/pad-3 stem conv with a phase-split backward-data rule."""
-    return _stem_impl(x, kernel)
+    """7³/stride-2/pad-3 stem conv: space-to-depth dense forward and a
+    w-packed phase-split backward-data rule (both exact reformulations)."""
+    return _stem_impl_any(x, kernel)
 
 
 def _stem_conv_fwd(x, kernel):
-    return _stem_impl(x, kernel), (x, kernel)
+    return _stem_impl_any(x, kernel), (x, kernel)
 
 
 def _stem_conv_bwd(res, dy):
@@ -230,17 +301,29 @@ def _stem_conv_bwd(res, dy):
     # the perceptual net is frozen (its params carry no cotangent).
     _, kvjp = jax.vjp(lambda k: _stem_impl(x, k), kernel)
     dw, = kvjp(dy)
-    d_, h_, w_ = x.shape[1:4]
-    if x.shape[-1] == 1 and d_ % 2 == 0 and h_ % 2 == 0 and w_ % 2 == 0:
+    if _stem_gate(x):
         pk = _stem_phase_kernels(kernel).astype(dy.dtype)
-        ph = jax.lax.conv_general_dilated(
-            dy, pk, (1, 1, 1), padding=[(1, 2)] * 3,
-            dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        )  # (N, D/2, H/2, W/2, 8)
-        n, dd, hh, ww, _ = ph.shape
-        ph = ph.reshape(n, dd, hh, ww, 2, 2, 2)
-        ph = jnp.transpose(ph, (0, 1, 4, 2, 5, 3, 6))
-        dx = ph.reshape(n, 2 * dd, 2 * hh, 2 * ww, 1)
+        wo = dy.shape[3]
+        P = next((p for p in (16, 8, 4, 2) if wo % p == 0), 1)
+        if P > 1:
+            kw = _stem_wpack_kernels(pk, P)
+            ph = jax.lax.conv_general_dilated(
+                dy, kw, (1, 1, P), padding=[(1, 2)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )  # (N, D/2, H/2, W/(2P), P·8)
+            n, dd, hh, wg, _ = ph.shape
+            ph = ph.reshape(n, dd, hh, wg, P, 2, 2, 2)  # (..g, j, pd,ph,pw)
+            ph = jnp.transpose(ph, (0, 1, 5, 2, 6, 3, 4, 7))
+            dx = ph.reshape(n, 2 * dd, 2 * hh, 2 * wg * P, 1)
+        else:
+            ph = jax.lax.conv_general_dilated(
+                dy, pk, (1, 1, 1), padding=[(1, 2)] * 3,
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
+            )  # (N, D/2, H/2, W/2, 8)
+            n, dd, hh, ww, _ = ph.shape
+            ph = ph.reshape(n, dd, hh, ww, 2, 2, 2)
+            ph = jnp.transpose(ph, (0, 1, 4, 2, 5, 3, 6))
+            dx = ph.reshape(n, 2 * dd, 2 * hh, 2 * ww, 1)
     else:  # odd extents / multi-channel: keep XLA's rule
         _, xvjp = jax.vjp(lambda xx: _stem_impl(xx, kernel), x)
         dx, = xvjp(dy)

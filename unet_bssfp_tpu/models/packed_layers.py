@@ -18,6 +18,7 @@ plain path).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import jax
@@ -108,14 +109,55 @@ class PackedTwoConv(nn.Module):
         )(xk, train)
 
 
-def packed_max_pool2(xk: jax.Array, wdim: int) -> jax.Array:
-    """2×2×2 max-pool consuming the packed layout → plain NDHWC
-    (B, D/2, H/2, W/2, C)."""
+def _pool2_impl(xk: jax.Array, wdim: int) -> jax.Array:
     b, d, c, hw = xk.shape
     h = hw // wdim
     x = xk.reshape(b, d // 2, 2, c, h // 2, 2, wdim // 2, 2)
     x = jnp.max(x, axis=(2, 5, 7))          # (b, d/2, c, h/2, w/2)
     return jnp.transpose(x, (0, 1, 3, 4, 2))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def packed_max_pool2(xk: jax.Array, wdim: int) -> jax.Array:
+    """2×2×2 max-pool consuming the packed layout → plain NDHWC
+    (B, D/2, H/2, W/2, C).
+
+    Custom backward: XLA's select-and-scatter for this pool costs ~9 ms
+    fwd+bwd at the 64³×32 parity shape on v5e; a first-match equality mask
+    over the 8 window positions (the same tie-break select_and_scatter
+    uses — first window position in (d, h, w) row-major order wins) is
+    ~equivalent math at a fraction of the cost (scripts/dropout_probe.py)."""
+    return _pool2_impl(xk, wdim)
+
+
+def _pool2_fwd(xk, wdim):
+    y = _pool2_impl(xk, wdim)
+    return y, (xk, y)
+
+
+def _pool2_bwd(wdim, res, dy):
+    xk, y = res
+    b, d, c, hw = xk.shape
+    h = hw // wdim
+    xr = xk.reshape(b, d // 2, 2, c, h // 2, 2, wdim // 2, 2)
+    yb = jnp.transpose(y, (0, 1, 4, 2, 3))      # (b, d/2, c, h/2, w/2)
+    dyb = jnp.transpose(dy, (0, 1, 4, 2, 3)).astype(jnp.float32)
+    zero = jnp.zeros_like(dyb)
+    taken = jnp.zeros(yb.shape, dtype=bool)
+    parts = []
+    for dd in range(2):
+        for hh in range(2):
+            for ww in range(2):
+                m = (xr[:, :, dd, :, :, hh, :, ww] == yb) & ~taken
+                parts.append(jnp.where(m, dyb, zero))
+                taken = taken | m
+    dx = jnp.stack(parts, axis=0).reshape(
+        2, 2, 2, b, d // 2, c, h // 2, wdim // 2)
+    dx = jnp.transpose(dx, (3, 4, 0, 5, 6, 1, 7, 2))
+    return (dx.reshape(b, d, c, hw).astype(xk.dtype),)
+
+
+packed_max_pool2.defvjp(_pool2_fwd, _pool2_bwd)
 
 
 class PackedUpCat(nn.Module):
