@@ -386,3 +386,4 @@ def test_perceptual_distance_grad_flows_pred_only(net_vars, rng):
     assert np.all(np.isfinite(np.asarray(ga)))
     assert float(jnp.sum(jnp.abs(ga))) > 0
     np.testing.assert_array_equal(np.asarray(gb), 0.0)
+

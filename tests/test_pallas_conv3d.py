@@ -214,3 +214,55 @@ def test_packed_max_pool2_vjp_first_match_ties():
     g_custom = jax.grad(lambda x: jnp.sum(packed_max_pool2(x, 8) ** 2))(xk)
     g_xla = jax.grad(lambda x: jnp.sum(pool_ref(x) ** 2))(xk)
     np.testing.assert_array_equal(np.asarray(g_custom), np.asarray(g_xla))
+
+
+def test_wguard_kernel_matches_xla():
+    """Guard-column layout (trailing zero lanes per w-row, wguard>0): the
+    kernel skips the w-mask passes and re-zeroes output guards; numerics
+    must still match the XLA SAME conv, and the VJP its autodiff."""
+    import os
+
+    from unet_bssfp_tpu.models.packed_layers import guard_cols
+
+    B, D, H, W, CI, CO = 1, 4, 16, 64, 8, 8
+    os.environ["UNET_BSSFP_WGUARD"] = "1"
+    try:
+        g = guard_cols(H, W)
+    finally:
+        del os.environ["UNET_BSSFP_WGUARD"]
+    assert g > 0
+    x = _mk((B, D, H, W, CI), 21)
+    w = _mk((3, 3, 3, CI, CO), 22)
+    bias = _mk((CO,), 23)
+
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + bias
+    xg = jnp.pad(x, ((0, 0),) * 3 + ((0, g), (0, 0)))
+    xk = pack_hw(xg)
+    got = conv3x3_packed(xk, w, bias, W + g, True, g)
+    gotn = unpack_hw(got, W + g)
+    np.testing.assert_allclose(
+        np.asarray(gotn[:, :, :, :W]), np.asarray(ref),
+        rtol=2e-4, atol=2e-5)
+    # output guard columns must be exactly zero (downstream invariant)
+    np.testing.assert_array_equal(
+        np.asarray(gotn[:, :, :, W:]), 0.0)
+
+    gp = jax.grad(
+        lambda xk, w, b: jnp.sum(
+            conv3x3_packed(xk, w, b, W + g, True, g) ** 2),
+        argnums=(0, 1, 2))(xk, w, bias)
+    gr = jax.grad(
+        lambda x, w, b: jnp.sum(
+            (jax.lax.conv_general_dilated(
+                x, w, (1, 1, 1), "SAME",
+                dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b) ** 2),
+        argnums=(0, 1, 2))(x, w, bias)
+    dxn = unpack_hw(gp[0], W + g)[:, :, :, :W]
+    np.testing.assert_allclose(np.asarray(dxn), np.asarray(gr[0]),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(gr[1]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(gp[2]), np.asarray(gr[2]),
+                               rtol=2e-3, atol=2e-2)

@@ -17,6 +17,7 @@ with the reference's numbers requires the converted weights.
 
 from __future__ import annotations
 
+import functools
 import logging
 from typing import Any, Dict, Optional
 

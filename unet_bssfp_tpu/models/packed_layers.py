@@ -38,9 +38,45 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def guard_cols(h: int, w: int) -> int:
+    """Zero guard columns appended to each w-row of the packed layout.
+
+    With ``g ≥ 2`` trailing zero lanes per row the conv kernel's w-rolls
+    need no SAME-padding masks (ops.pallas.conv3d ``wguard``) — six VPU
+    passes saved per nine-tap combine. ``g`` must keep the row width even
+    (pool pairing) and the lane count ``h·(w+g)`` tile-aligned (128).
+
+    MEASURED NEUTRAL-TO-SLOWER on v5e (scripts/guard_probe.py, r3: 24→32
+    fwd+bwd 4.10 → 5.07 ms, 96→32 9.49 → 9.48 ms at the 64³ parity
+    shapes): the mask savings are offset by rolls/elementwise over an odd
+    lane-tile count (33·128 = 4224 vs 32·128) and the +3% wider GEMM. Kept
+    as an opt-in layout for study (``UNET_BSSFP_WGUARD=1``); correctness
+    is locked by ``tests/test_pallas_conv3d.py::test_wguard_*``."""
+    import os
+
+    if os.environ.get("UNET_BSSFP_WGUARD") != "1":
+        return 0
+    for g in (2, 4, 6, 8):
+        if (w + g) % 2 == 0 and (h * (w + g)) % 128 == 0:
+            return g
+    return 0
+
+
+def _guard_zero(y: jax.Array, wdim: int, wguard: int) -> jax.Array:
+    """Re-zero the guard columns (norm bias / activation made them
+    non-zero). XLA fuses this select into the surrounding elementwise
+    chain. Its backward also zeroes guard cotangents — the invariant the
+    conv kernels' VJPs rely on."""
+    if not wguard:
+        return y
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, y.shape[-1]), 3)
+    return jnp.where(lane % wdim < wdim - wguard, y, jnp.zeros((), y.dtype))
+
+
 class PackedConvNormAct(nn.Module):
     """ConvNormAct (conv3³ → InstanceNorm → Dropout → LeakyReLU/PReLU) on a
-    packed (B, D, C, H·W) tensor. ``wdim`` is the W extent of the lane dim.
+    packed (B, D, C, H·W) tensor. ``wdim`` is the W extent of the lane dim
+    (including ``wguard`` trailing zero guard columns per row, if any).
     ``prelu`` uses a learnable per-channel slope (param ``prelu_slope``,
     matching ``models.layers.ConvNormAct``) instead of the fixed LeakyReLU
     slope — the thesis MultiInputUNet activation."""
@@ -52,6 +88,7 @@ class PackedConvNormAct(nn.Module):
     epsilon: float = 1e-5
     dtype: Optional[Dtype] = None
     prelu: bool = False
+    wguard: int = 0
 
     @nn.compact
     def __call__(self, xk: jax.Array, train: bool = True) -> jax.Array:
@@ -62,13 +99,26 @@ class PackedConvNormAct(nn.Module):
 
         yk = conv3x3_packed_auto(
             xk.astype(dtype), kernel, cbias.astype(jnp.float32),
-            self.wdim, _interpret(),
+            self.wdim, _interpret(), self.wguard,
         )
         # InstanceNorm: per-(sample, channel) moments over all spatial
         # positions = (d, lanes); f32 stats like models.layers.InstanceNorm.
+        # Guard columns are zero (kernel invariant): use the true element
+        # count and subtract the pads' mean² from the centred second moment
+        # (same correction as ops.folded.folded_instance_norm_stats).
         yf = yk.astype(jnp.float32)
-        mean = jnp.mean(yf, axis=(1, 3), keepdims=True)
-        var = jnp.var(yf, axis=(1, 3), keepdims=True)
+        b, d, c, hw = yf.shape
+        if self.wguard:
+            h = hw // self.wdim
+            count = d * h * (self.wdim - self.wguard)
+            n_pad = d * h * self.wguard
+            s1 = jnp.sum(yf, axis=(1, 3), keepdims=True)
+            mean = s1 / count
+            cent = jnp.sum(jnp.square(yf - mean), axis=(1, 3), keepdims=True)
+            var = jnp.maximum(cent - n_pad * mean * mean, 0.0) / count
+        else:
+            mean = jnp.mean(yf, axis=(1, 3), keepdims=True)
+            var = jnp.var(yf, axis=(1, 3), keepdims=True)
         y = (yf - mean) * jax.lax.rsqrt(var + self.epsilon)
         y = y * scale.reshape(1, 1, -1, 1) + nbias.reshape(1, 1, -1, 1)
         if self.dropout > 0.0 and train:
@@ -82,12 +132,13 @@ class PackedConvNormAct(nn.Module):
             y = jnp.where(y >= 0, y, slope.reshape(1, 1, -1, 1) * y)
         else:
             y = nn.leaky_relu(y, self.negative_slope)
-        return y.astype(dtype)
+        return _guard_zero(y, self.wdim, self.wguard).astype(dtype)
 
 
 class PackedTwoConv(nn.Module):
     """TwoConv on the packed layout: NDHWC input → packed output
-    (B, D, features, H·W). Param paths match ``TwoConv``."""
+    (B, D, features, H·(W+g)) with ``g = guard_cols(H, W)`` zero guard
+    columns per w-row. Param paths match ``TwoConv``."""
 
     features: int
     dropout: float = 0.0
@@ -97,50 +148,60 @@ class PackedTwoConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        wdim = x.shape[3]
-        xk = pack_hw_auto(x.astype(self.dtype or x.dtype))
+        h, w = x.shape[2], x.shape[3]
+        g = guard_cols(h, w)
+        x = x.astype(self.dtype or x.dtype)
+        if g:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, g), (0, 0)))
+        xk = pack_hw_auto(x)
         xk = PackedConvNormAct(
-            self.features, wdim, self.dropout, self.negative_slope,
-            dtype=self.dtype, prelu=self.prelu, name="conv_0",
+            self.features, w + g, self.dropout, self.negative_slope,
+            dtype=self.dtype, prelu=self.prelu, wguard=g, name="conv_0",
         )(xk, train)
         return PackedConvNormAct(
-            self.features, wdim, self.dropout, self.negative_slope,
-            dtype=self.dtype, prelu=self.prelu, name="conv_1",
+            self.features, w + g, self.dropout, self.negative_slope,
+            dtype=self.dtype, prelu=self.prelu, wguard=g, name="conv_1",
         )(xk, train)
 
 
 def _pool2_impl(xk: jax.Array, wdim: int) -> jax.Array:
+    """Full-width pool (guard column pairs, if any, pool to zero): returns
+    (b, d/2, h/2, wdim/2, c) NDHWC — callers slice off the pooled guards."""
     b, d, c, hw = xk.shape
     h = hw // wdim
     x = xk.reshape(b, d // 2, 2, c, h // 2, 2, wdim // 2, 2)
-    x = jnp.max(x, axis=(2, 5, 7))          # (b, d/2, c, h/2, w/2)
+    x = jnp.max(x, axis=(2, 5, 7))          # (b, d/2, c, h/2, wdim/2)
     return jnp.transpose(x, (0, 1, 3, 4, 2))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def packed_max_pool2(xk: jax.Array, wdim: int) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def packed_max_pool2(xk: jax.Array, wdim: int, wguard: int = 0) -> jax.Array:
     """2×2×2 max-pool consuming the packed layout → plain NDHWC
-    (B, D/2, H/2, W/2, C).
+    (B, D/2, H/2, W/2, C), dropping the ``wguard`` zero guard columns.
 
     Custom backward: XLA's select-and-scatter for this pool costs ~9 ms
     fwd+bwd at the 64³×32 parity shape on v5e; a first-match equality mask
     over the 8 window positions (the same tie-break select_and_scatter
     uses — first window position in (d, h, w) row-major order wins) is
     ~equivalent math at a fraction of the cost (scripts/dropout_probe.py)."""
-    return _pool2_impl(xk, wdim)
-
-
-def _pool2_fwd(xk, wdim):
     y = _pool2_impl(xk, wdim)
-    return y, (xk, y)
+    return y[:, :, :, :(wdim - wguard) // 2] if wguard else y
 
 
-def _pool2_bwd(wdim, res, dy):
+def _pool2_fwd(xk, wdim, wguard):
+    y = _pool2_impl(xk, wdim)
+    out = y[:, :, :, :(wdim - wguard) // 2] if wguard else y
+    return out, (xk, y)
+
+
+def _pool2_bwd(wdim, wguard, res, dy):
     xk, y = res
     b, d, c, hw = xk.shape
     h = hw // wdim
+    if wguard:
+        dy = jnp.pad(dy, ((0, 0),) * 3 + ((0, wguard // 2), (0, 0)))
     xr = xk.reshape(b, d // 2, 2, c, h // 2, 2, wdim // 2, 2)
-    yb = jnp.transpose(y, (0, 1, 4, 2, 3))      # (b, d/2, c, h/2, w/2)
+    yb = jnp.transpose(y, (0, 1, 4, 2, 3))      # (b, d/2, c, h/2, wdim/2)
     dyb = jnp.transpose(dy, (0, 1, 4, 2, 3)).astype(jnp.float32)
     zero = jnp.zeros_like(dyb)
     taken = jnp.zeros(yb.shape, dtype=bool)
@@ -163,8 +224,9 @@ packed_max_pool2.defvjp(_pool2_fwd, _pool2_bwd)
 class PackedUpCat(nn.Module):
     """UpCat whose TwoConv runs packed: transpose-conv upsample (XLA,
     channels-last) → pack → channel-concat with the packed skip →
-    PackedConvNormAct ×2. ``skip_k`` must be packed with the same wdim.
-    Returns the packed output. Param paths match ``UpCat``."""
+    PackedConvNormAct ×2. ``wdim`` is the DATA width W; ``skip_k`` must be
+    packed with the same W (and therefore the same ``guard_cols``).
+    Returns the packed (guarded) output. Param paths match ``UpCat``."""
 
     features: int
     up_features: int
@@ -182,17 +244,21 @@ class PackedUpCat(nn.Module):
             self.up_features, kernel_size=(2, 2, 2), strides=(2, 2, 2),
             dtype=self.dtype, name="upsample",
         )(x)
+        g = guard_cols(up.shape[2], self.wdim)
+        if g:
+            up = jnp.pad(up, ((0, 0), (0, 0), (0, 0), (0, g), (0, 0)))
         upk = pack_hw_auto(up)
         xk = jnp.concatenate([skip_k, upk], axis=2)
         return _PackedPair(
-            self.features, self.wdim, self.dropout, self.negative_slope,
-            dtype=self.dtype, prelu=self.prelu, name="convs",
+            self.features, self.wdim + g, self.dropout, self.negative_slope,
+            dtype=self.dtype, prelu=self.prelu, wguard=g, name="convs",
         )(xk, train)
 
 
 class _PackedPair(nn.Module):
     """Two PackedConvNormActs named conv_0/conv_1 (param path matches the
-    ``convs`` child of ``UpCat``'s TwoConv)."""
+    ``convs`` child of ``UpCat``'s TwoConv). ``wdim`` includes any guard
+    columns (``wguard``)."""
 
     features: int
     wdim: int
@@ -200,16 +266,19 @@ class _PackedPair(nn.Module):
     negative_slope: float = 0.1
     dtype: Optional[Dtype] = None
     prelu: bool = False
+    wguard: int = 0
 
     @nn.compact
     def __call__(self, xk: jax.Array, train: bool = True) -> jax.Array:
         xk = PackedConvNormAct(
             self.features, self.wdim, self.dropout, self.negative_slope,
-            dtype=self.dtype, prelu=self.prelu, name="conv_0",
+            dtype=self.dtype, prelu=self.prelu, wguard=self.wguard,
+            name="conv_0",
         )(xk, train)
         return PackedConvNormAct(
             self.features, self.wdim, self.dropout, self.negative_slope,
-            dtype=self.dtype, prelu=self.prelu, name="conv_1",
+            dtype=self.dtype, prelu=self.prelu, wguard=self.wguard,
+            name="conv_1",
         )(xk, train)
 
 

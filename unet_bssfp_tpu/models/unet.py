@@ -103,11 +103,14 @@ class BasicUNet3D(nn.Module):
                 p_upcat = nn.remat(PackedUpCat, static_argnums=(3,))
                 p_convs = nn.remat(PooledConvs, static_argnums=(2,))
 
+            from unet_bssfp_tpu.models.packed_layers import guard_cols
+
             wdim = x.shape[3]
+            g0 = guard_cols(x.shape[2], wdim)
             xk0 = p_two_conv(
                 f[0], self.dropout, self.negative_slope, dtype=self.dtype,
                 prelu=self.prelu, name="conv_0")(x, train)
-            x0p = packed_max_pool2(xk0, wdim)
+            x0p = packed_max_pool2(xk0, wdim + g0, g0)
             x1 = p_convs(f[1], self.dropout, self.negative_slope,
                          self.dtype, self.use_fused, self.prelu,
                          name="down_1")(x0p, train)
@@ -165,7 +168,8 @@ class BasicUNet3D(nn.Module):
             out = PackedFinalConv(
                 self.out_channels, dtype=self.dtype, name="final_conv",
             )(u1k)
-            return unpack_hw_auto(out, wdim)
+            out = unpack_hw_auto(out, wdim + g0)
+            return out[:, :, :, :wdim] if g0 else out
         if folded:
             u1 = f_upcat(f[5], f[1], h, w, -2, self.dropout,
                          self.negative_slope, dtype=self.dtype,

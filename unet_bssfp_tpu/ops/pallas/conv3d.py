@@ -94,6 +94,17 @@ def _roll_w_masked(y32, s, lane, W):
     return jnp.where(lane % W >= W + s, 0.0, out)
 
 
+def _roll_w_guarded(y32, s):
+    """Roll by ``s`` w-lanes with NO mask — valid when each w-row carries
+    ≥|s| trailing zero guard columns (``wguard`` layout): every value a roll
+    wraps into a *data* position comes from a guard lane of the adjacent
+    row, which is zero — exactly the SAME padding the mask used to create.
+    Saves the 6 w-mask VPU passes per nine-tap combine."""
+    if s == 0:
+        return y32
+    return pltpu.roll(y32, s % y32.shape[1], 1)
+
+
 def _roll_h_masked(y32, sh, lane, W, HW):
     """Roll by ``sh`` h-rows (sh·W lanes) and zero the wrapped rows. Row
     rolls preserve lane%W, so w-masks applied before commute with this."""
@@ -106,11 +117,14 @@ def _roll_h_masked(y32, sh, lane, W, HW):
 
 
 def _conv_kernel(xp_ref, wstack_ref, bias_ref, out_ref, x_vmem, sem,
-                 *, DT, HW, W, CIN, COUT):
+                 *, DT, HW, W, CIN, COUT, WGUARD=0):
     """Grid (B, D//DT). xp_ref: (B, D+2, CIN, HW) in ANY/HBM (d padded).
     wstack_ref: (9*COUT, 3*CIN) — tap (kh, kw) at rows
     [(kh*3+kw)*COUT, ...); K ordered (kd, ci).
-    out_ref block: (1, DT, COUT, HW). x_vmem: (DT+2, CIN, HW)."""
+    out_ref block: (1, DT, COUT, HW). x_vmem: (DT+2, CIN, HW).
+    ``WGUARD``: trailing zero guard columns per w-row — w-rolls then need
+    no masks (see :func:`_roll_w_guarded`); the store re-zeroes the guard
+    columns so the invariant holds for the next conv."""
     b = pl.program_id(0)
     i = pl.program_id(1)
 
@@ -121,6 +135,11 @@ def _conv_kernel(xp_ref, wstack_ref, bias_ref, out_ref, x_vmem, sem,
     dma.wait()
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (COUT, HW), 1)
+    guard_keep = (lane % W < W - WGUARD) if WGUARD else None
+
+    def roll_w(y, s):
+        return (_roll_w_guarded(y, s) if WGUARD
+                else _roll_w_masked(y, s, lane, W))
 
     # Tap-group size: ONE GEMM for all nine taps amortises launch overhead,
     # but its (group*COUT, HW) f32 result must fit VMEM — fall back to
@@ -132,11 +151,12 @@ def _conv_kernel(xp_ref, wstack_ref, bias_ref, out_ref, x_vmem, sem,
         bmat = x_vmem[pl.ds(d, 3), :, :].reshape(3 * CIN, HW)
         acc = bias_ref[:] * jnp.ones((COUT, HW), jnp.float32)
         if group == 9:
-            # Tree combine: sum the kw taps per kh row first (w-rolls ±1 +
-            # w-masks), then one h-roll ±W per kh row — 8 rolls / 8 masks /
-            # 9 adds instead of 8 rolls / ~12 masks / 9 adds of the flat
-            # form, and the h-masks apply to 3 partial sums, not 6 taps
-            # (w-masks commute with row rolls since lane%W is preserved).
+            # Tree combine: sum the kw taps per kh row first (w-rolls ±1,
+            # masked only in the legacy layout), then one h-roll ±W per kh
+            # row — 8 rolls / 8 masks / 9 adds (legacy) or 8 rolls /
+            # 2 masks / 9 adds (guarded) instead of the flat form's
+            # 8 rolls / ~12 masks / 9 adds. (w-masks commute with row rolls
+            # since lane%W is preserved.)
             ys = jax.lax.dot_general(
                 wstack_ref[:], bmat,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -146,7 +166,7 @@ def _conv_kernel(xp_ref, wstack_ref, bias_ref, out_ref, x_vmem, sem,
                 t = None
                 for kw in range(3):
                     y = ys[(kh * 3 + kw) * COUT:(kh * 3 + kw + 1) * COUT, :]
-                    y = _roll_w_masked(y, 1 - kw, lane, W)
+                    y = roll_w(y, 1 - kw)
                     t = y if t is None else t + y
                 acc = acc + _roll_h_masked(t, 1 - kh, lane, W, HW)
         else:
@@ -160,8 +180,14 @@ def _conv_kernel(xp_ref, wstack_ref, bias_ref, out_ref, x_vmem, sem,
                     kh, kw = divmod(g0 + j, 3)
                     y = ys[j * COUT:(j + 1) * COUT, :]
                     # W_khkw · X(h, w) → out(h - kh + 1, w - kw + 1)
-                    acc = acc + _roll_masked(
-                        y, (1 - kh, 1 - kw), lane, W, HW)
+                    if WGUARD:
+                        y = _roll_h_masked(
+                            roll_w(y, 1 - kw), 1 - kh, lane, W, HW)
+                    else:
+                        y = _roll_masked(y, (1 - kh, 1 - kw), lane, W, HW)
+                    acc = acc + y
+        if WGUARD:
+            acc = jnp.where(guard_keep, acc, 0.0)
         out_ref[0, pl.ds(d, 1), :, :] = (
             acc.astype(out_ref.dtype).reshape(1, COUT, HW)
         )
@@ -177,7 +203,8 @@ def _wstack(w: jax.Array, dtype) -> jax.Array:
 
 
 def _conv_fwd_impl(xk: jax.Array, w: jax.Array, bias: jax.Array, wdim: int,
-                   interpret: bool = False, pad_d: bool = True) -> jax.Array:
+                   interpret: bool = False, pad_d: bool = True,
+                   wguard: int = 0) -> jax.Array:
     """``pad_d=False``: ``xk`` already carries a 1-slice d halo on each side
     (space-sharded callers exchange real neighbour slices instead of the
     SAME zero pad); output D = xk.shape[1] - 2."""
@@ -204,7 +231,8 @@ def _conv_fwd_impl(xk: jax.Array, w: jax.Array, bias: jax.Array, wdim: int,
     b_col = bias.reshape(COUT, 1).astype(jnp.float32)
 
     kernel = functools.partial(
-        _conv_kernel, DT=DT, HW=HW, W=wdim, CIN=CIN, COUT=COUT
+        _conv_kernel, DT=DT, HW=HW, W=wdim, CIN=CIN, COUT=COUT,
+        WGUARD=wguard,
     )
     out = pl.pallas_call(
         kernel,
@@ -233,7 +261,7 @@ def _conv_fwd_impl(xk: jax.Array, w: jax.Array, bias: jax.Array, wdim: int,
 
 
 def _dw_kernel(xp_ref, dy_ref, dw_ref, x_vmem, sem,
-               *, DT, HW, W, CIN, COUT):
+               *, DT, HW, W, CIN, COUT, WGUARD=0):
     """Accumulates (3*CIN, 9*COUT) over the sequential grid: rows (kd, ci),
     column block (kh, kw) — one GEMM per d-slice against the stacked rolled
     dy (the stack build reuses the rolls the 9-dot form needed anyway)."""
@@ -254,6 +282,17 @@ def _dw_kernel(xp_ref, dy_ref, dw_ref, x_vmem, sem,
     group = next(g for g in (9, 3, 1)
                  if g * COUT * HW * 4 <= _YS_BUDGET or g == 1)
 
+    def roll_dy(dy0, kh, kw):
+        # dw_khkw = Σ X(h+kh-1, w+kw-1) ⊗ dy(h, w): roll dy to align with
+        # the unshifted X; masks (or guard columns) zero SAME-pad positions.
+        if WGUARD:
+            # dy carries zero guard columns (kernel-output invariant), so
+            # the w component needs no mask; X's own guard columns are zero
+            # too, killing any residual garbage in the contraction.
+            return _roll_h_masked(
+                _roll_w_guarded(dy0, kw - 1), kh - 1, lane, W, HW)
+        return _roll_masked(dy0, (kh - 1, kw - 1), lane, W, HW)
+
     def body(d, acc):
         bmat = x_vmem[pl.ds(d, 3), :, :].reshape(3 * CIN, HW)
         dy0 = dy_ref[0, pl.ds(d, 1), :, :].reshape(COUT, HW).astype(
@@ -263,10 +302,7 @@ def _dw_kernel(xp_ref, dy_ref, dw_ref, x_vmem, sem,
             rolled = []
             for j in range(group):
                 kh, kw = divmod(g0 + j, 3)
-                # dw_khkw = Σ X(h+kh-1, w+kw-1) ⊗ dy(h, w): roll dy to align
-                # with the unshifted X; the masks zero SAME-pad positions.
-                rolled.append(
-                    _roll_masked(dy0, (kh - 1, kw - 1), lane, W, HW))
+                rolled.append(roll_dy(dy0, kh, kw))
             dys = jnp.concatenate(rolled, axis=0).astype(x_vmem.dtype)
             parts.append(jax.lax.dot_general(
                 bmat, dys,
@@ -283,7 +319,8 @@ def _dw_kernel(xp_ref, dy_ref, dw_ref, x_vmem, sem,
 
 
 def _dw_impl(xk: jax.Array, dy: jax.Array, wdim: int,
-             interpret: bool = False, pad_d: bool = True) -> jax.Array:
+             interpret: bool = False, pad_d: bool = True,
+             wguard: int = 0) -> jax.Array:
     B, D, CIN, HW = xk.shape
     if not pad_d:
         D = D - 2
@@ -299,7 +336,8 @@ def _dw_impl(xk: jax.Array, dy: jax.Array, wdim: int,
 
     xp = jnp.pad(xk, ((0, 0), (1, 1), (0, 0), (0, 0))) if pad_d else xk
     kernel = functools.partial(
-        _dw_kernel, DT=DT, HW=HW, W=wdim, CIN=CIN, COUT=COUT
+        _dw_kernel, DT=DT, HW=HW, W=wdim, CIN=CIN, COUT=COUT,
+        WGUARD=wguard,
     )
     dw_flat = pl.pallas_call(
         kernel,
@@ -328,31 +366,40 @@ def _dw_impl(xk: jax.Array, dy: jax.Array, wdim: int,
     return dw[:, :, :, :cin_orig, :cout_orig]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def conv3x3_packed(xk: jax.Array, w: jax.Array, bias: jax.Array,
-                   wdim: int, interpret: bool = False) -> jax.Array:
+                   wdim: int, interpret: bool = False,
+                   wguard: int = 0) -> jax.Array:
     """SAME 3×3×3 conv on a spatial-lane tensor.
 
     xk: (B, D, Cin, H·W) (see :func:`pack_hw`); w: (3,3,3,Cin,Cout);
     bias: (Cout,); ``wdim`` = W. Returns (B, D, Cout, H·W). Equivalent to
     NDHWC ``lax.conv_general_dilated(..., padding='SAME')`` + bias up to
     layout.
+
+    ``wguard``: the last ``wguard`` columns of every w-row are zero guard
+    lanes (data width = wdim - wguard). The kernel then skips the six
+    w-mask VPU passes per nine-tap combine and re-zeroes the output guards
+    (callers must keep the guard columns zero — PackedConvNormAct's
+    epilogue mask restores them after norm/activation).
     """
-    return _conv_fwd_impl(xk, w.astype(xk.dtype), bias, wdim, interpret)
+    return _conv_fwd_impl(xk, w.astype(xk.dtype), bias, wdim, interpret,
+                          wguard=wguard)
 
 
-def _vjp_fwd(xk, w, bias, wdim, interpret):
-    return conv3x3_packed(xk, w, bias, wdim, interpret), (xk, w)
+def _vjp_fwd(xk, w, bias, wdim, interpret, wguard):
+    return conv3x3_packed(xk, w, bias, wdim, interpret, wguard), (xk, w)
 
 
-def _vjp_bwd(wdim, interpret, res, dy):
+def _vjp_bwd(wdim, interpret, wguard, res, dy):
     xk, w = res
     w_flip_t = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
     dx = _conv_fwd_impl(
         dy, w_flip_t.astype(dy.dtype),
         jnp.zeros((w.shape[3],), jnp.float32), wdim, interpret,
+        wguard=wguard,
     )
-    dw = _dw_impl(xk, dy, wdim, interpret).astype(w.dtype)
+    dw = _dw_impl(xk, dy, wdim, interpret, wguard=wguard).astype(w.dtype)
     db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 3))
     return dx.astype(xk.dtype), dw, db.astype(jnp.float32)
 
@@ -360,9 +407,10 @@ def _vjp_bwd(wdim, interpret, res, dy):
 conv3x3_packed.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def conv3x3_packed_halo(xp: jax.Array, w: jax.Array, bias: jax.Array,
-                        wdim: int, interpret: bool = False) -> jax.Array:
+                        wdim: int, interpret: bool = False,
+                        wguard: int = 0) -> jax.Array:
     """:func:`conv3x3_packed` on an input that already carries a 1-slice d
     halo on each side (``xp``: (B, D+2, Cin, H·W) → (B, D, Cout, H·W)).
 
@@ -370,14 +418,14 @@ def conv3x3_packed_halo(xp: jax.Array, w: jax.Array, bias: jax.Array,
     ``space`` axis (``jax.lax.ppermute``) instead of the SAME zero pad —
     the context-parallel analogue for this model family (SURVEY.md §5.7)."""
     return _conv_fwd_impl(xp, w.astype(xp.dtype), bias, wdim, interpret,
-                          pad_d=False)
+                          pad_d=False, wguard=wguard)
 
 
-def _halo_vjp_fwd(xp, w, bias, wdim, interpret):
-    return conv3x3_packed_halo(xp, w, bias, wdim, interpret), (xp, w)
+def _halo_vjp_fwd(xp, w, bias, wdim, interpret, wguard):
+    return conv3x3_packed_halo(xp, w, bias, wdim, interpret, wguard), (xp, w)
 
 
-def _halo_vjp_bwd(wdim, interpret, res, dy):
+def _halo_vjp_bwd(wdim, interpret, wguard, res, dy):
     xp, w = res
     w_flip_t = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
     # dxp[j] = Σ_kd w[kd]ᵀ · dy[j-kd], j ∈ [0, D+2): the transposed conv on
@@ -386,8 +434,10 @@ def _halo_vjp_bwd(wdim, interpret, res, dy):
     dxp = _conv_fwd_impl(
         dyp, w_flip_t.astype(dy.dtype),
         jnp.zeros((w.shape[3],), jnp.float32), wdim, interpret, pad_d=False,
+        wguard=wguard,
     )
-    dw = _dw_impl(xp, dy, wdim, interpret, pad_d=False).astype(w.dtype)
+    dw = _dw_impl(xp, dy, wdim, interpret, pad_d=False,
+                  wguard=wguard).astype(w.dtype)
     db = jnp.sum(dy.astype(jnp.float32), axis=(0, 1, 3))
     return dxp.astype(xp.dtype), dw, db.astype(jnp.float32)
 
@@ -474,20 +524,21 @@ def _shard_map(f, mesh, in_specs, out_specs):
 
 
 def conv3x3_packed_auto(xk: jax.Array, w: jax.Array, bias: jax.Array,
-                        wdim: int, interpret: bool = False) -> jax.Array:
+                        wdim: int, interpret: bool = False,
+                        wguard: int = 0) -> jax.Array:
     """:func:`conv3x3_packed`, shard_mapped over the active mesh's data
     axis — and its ``space`` axis (d-sharded, ppermute halo exchange) when
     the :class:`packed_conv_mesh` context names one — else the plain
     kernel."""
     active = _active_conv_mesh(xk.shape[0], xk.shape[1])
     if active is None:
-        return conv3x3_packed(xk, w, bias, wdim, interpret)
+        return conv3x3_packed(xk, w, bias, wdim, interpret, wguard)
     mesh, axis, space_axis = active
     from jax.sharding import PartitionSpec as P
 
     if space_axis is None:
         def f(xk_, w_, b_):
-            return conv3x3_packed(xk_, w_, b_, wdim, interpret)
+            return conv3x3_packed(xk_, w_, b_, wdim, interpret, wguard)
 
         return _shard_map(
             f, mesh, in_specs=(P(axis), P(), P()), out_specs=P(axis)
@@ -503,7 +554,7 @@ def conv3x3_packed_auto(xk: jax.Array, w: jax.Array, bias: jax.Array,
         lo = jax.lax.ppermute(xk_loc[:, -1:], space_axis, fwd)
         hi = jax.lax.ppermute(xk_loc[:, :1], space_axis, bwd)
         xp = jnp.concatenate([lo, xk_loc, hi], axis=1)
-        return conv3x3_packed_halo(xp, w_, b_, wdim, interpret)
+        return conv3x3_packed_halo(xp, w_, b_, wdim, interpret, wguard)
 
     return _shard_map(
         f_halo, mesh,
