@@ -65,13 +65,29 @@ def run(epochs: int, smoke: bool) -> dict:
         disc_features = (32, 64, 128, 256, 512)
         dtype = "bfloat16"
 
-    bids = make_synthetic_bids(
-        os.path.join(tmp, "bids"),
-        subjects=tuple(f"{i:02d}" for i in range(1, subjects + 1)),
-        sessions=("1",),
-        volume_shape=vol,
-        seed=0,
+    # Cache the synthetic dataset across runs: generating 12 gzipped
+    # (96,128,128) subjects takes tens of minutes on a single-core host,
+    # and the fixture is fully deterministic (seed 0).
+    cache = os.environ.get(
+        "CONVBENCH_DATA",
+        os.path.join(
+            tempfile.gettempdir(),
+            f"convbench_data_{'smoke' if smoke else 'full'}_s{subjects}",
+        ),
     )
+    marker = os.path.join(cache, ".complete")
+    if os.path.exists(marker):
+        bids = os.path.join(cache, "bids")
+    else:
+        bids = make_synthetic_bids(
+            os.path.join(cache, "bids"),
+            subjects=tuple(f"{i:02d}" for i in range(1, subjects + 1)),
+            sessions=("1",),
+            volume_shape=vol,
+            seed=0,
+        )
+        with open(marker, "w") as f:
+            f.write("ok\n")
     cfg = Config(
         data=DataConfig(
             data_dir=bids,

@@ -20,18 +20,36 @@ from unet_bssfp_tpu.data.nifti import save_volume
 
 def _smooth_field(rng, shape, channels):
     # Trilinear-upsample a coarse random grid → smooth MRI-like structure.
+    # Per axis, the interp is a (target, 5) weight matrix applied as five
+    # broadcast multiply-accumulates — deliberately NOT np.take fancy
+    # indexing (~160 s for a 24-channel (96,128,128) volume on this host)
+    # and NOT BLAS (this container's BLAS runs skinny K=5 GEMMs at
+    # ~30 MFLOP/s). Identical weights → identical field values.
     base = rng.random((5, 5, 5, channels)).astype(np.float32)
     coarse = base
     for ax, target in enumerate(shape):
-        idx = np.linspace(0, coarse.shape[ax] - 1, target)
+        src = coarse.shape[ax]
+        idx = np.linspace(0, src - 1, target)
         lo = np.floor(idx).astype(int)
-        hi = np.minimum(lo + 1, coarse.shape[ax] - 1)
-        frac = (idx - lo).reshape([-1 if a == ax else 1 for a in range(4)])
-        coarse = (
-            np.take(coarse, lo, axis=ax) * (1 - frac)
-            + np.take(coarse, hi, axis=ax) * frac
-        )
-    return np.clip(coarse.astype(np.float32), 0.0, 1.0)
+        hi = np.minimum(lo + 1, src - 1)
+        frac = (idx - lo).astype(np.float32)
+        w = np.zeros((target, src), np.float32)
+        w[np.arange(target), lo] += 1.0 - frac
+        w[np.arange(target), hi] += frac
+        # Scalar × contiguous-array accumulate per (target, src) weight:
+        # this numpy build runs stride-0 broadcast loops ~70× slower than
+        # contiguous elementwise ops (25 s vs 0.33 s for the last axis of a
+        # 24-channel (96,128,128) volume), so the tiny Python loop wins big.
+        cm = np.ascontiguousarray(np.moveaxis(coarse, ax, 0))
+        out = np.zeros((target,) + cm.shape[1:], np.float32)
+        for s in range(src):
+            c = cm[s]
+            col = w[:, s]
+            for t in range(target):
+                if col[t] != 0.0:
+                    out[t] += col[t] * c
+        coarse = np.moveaxis(out, 0, ax)
+    return np.clip(np.ascontiguousarray(coarse, np.float32), 0.0, 1.0)
 
 
 def make_synthetic_bids(
