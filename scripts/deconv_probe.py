@@ -47,9 +47,12 @@ def deconv_xla(x, k):
 
 
 def deconv_gemm(x, k):
+    # NB measured SLOWER than XLA's transposed conv (the depth-to-space
+    # transpose dominates), and this naive phase mapping does not match
+    # lax.conv_transpose's flipped-kernel convention (max|err| ~ O(1)) —
+    # kept only as the record of an abandoned direction.
     n, d, h, w, ci = x.shape
     co = k.shape[-1]
-    km = k.reshape(8 * ci // ci, -1) if False else None
     kmat = jnp.transpose(k, (3, 0, 1, 2, 4)).reshape(ci, 8 * co)
     y = x.reshape(n, d, h, w, ci) @ kmat           # (n,d,h,w,8co)
     y = y.reshape(n, d, h, w, 2, 2, 2, co)
