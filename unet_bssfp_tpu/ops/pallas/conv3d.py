@@ -30,6 +30,7 @@ with flipped/transposed weights; dw is a sibling kernel accumulating
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -53,10 +54,33 @@ def _sub(c: int) -> int:
     return -(-c // 8) * 8
 
 
+# Conv formulation: "kstack" folds the three kw taps into the GEMM's K dim
+# by storing three w-shifted copies of every input slab in VMEM (shifts on
+# cheap bf16 Cin rows, amortised over the 3 output d-slices each slab
+# feeds), leaving only the two kh rolls on the f32 result — ~3× less VPU
+# roll/mask/add traffic than the legacy 9-tap combine at identical MXU
+# FLOPs. The flip side is 3× the GEMM B-operand streamed from VMEM
+# (K = 9·Cin vs 3·Cin), so it only wins where the roll savings dominate:
+# measured on v5e (scripts/kstack_probe.py) 24→32@64³ fwd 1.44×/f+b 1.14×,
+# but 32→32 0.84×, 96→32 0.96×, and whole-volume HW 0.77× — hence the
+# shape gate in :func:`_use_kstack`. "legacy" is the original nine-tap
+# roll-combine (required for the wguard layout); "kstack" forces it on.
+_CONV_FORM = os.environ.get("UNET_BSSFP_CONV_FORM", "auto")
+
+
+def _use_kstack(cin: int, cout: int, hw: int, wguard: int) -> bool:
+    if wguard or _CONV_FORM == "legacy":
+        return False
+    if _CONV_FORM == "kstack":
+        return True
+    return cin < cout and hw <= 4096
+
+
 def _pick_dt(d: int, hw: int, cin: int, cout: int,
-             itemsize: int = 2) -> int:
-    """Largest d-tile whose halo window + out block + f32 temps fit."""
-    x_slice = _sub(cin) * hw * itemsize
+             itemsize: int = 2, xfactor: int = 1) -> int:
+    """Largest d-tile whose halo window + out block + f32 temps fit.
+    ``xfactor``: VMEM copies of the input window (3 for kstack)."""
+    x_slice = xfactor * _sub(cin) * hw * itemsize
     o_slice = _sub(cout) * hw * itemsize
     temps = 6 * _sub(cout) * hw * 4          # live f32 (COUT, HW) values
     for dt in (8, 4, 2, 1):
@@ -196,10 +220,123 @@ def _conv_kernel(xp_ref, wstack_ref, bias_ref, out_ref, x_vmem, sem,
     jax.lax.fori_loop(0, DT, body, 0)
 
 
+def _build_wshift_slabs(xs_vmem, DT, CIN, W, HW):
+    """Prologue shared by the kstack kernels: the DMA left the raw slab in
+    rows [CIN, 2·CIN); fill rows [0, CIN) with the kw=0 tap's operand
+    X(·, w−1) (w-roll +1) and rows [2·CIN, 3·CIN) with kw=2's X(·, w+1)
+    (w-roll −1), masked at the SAME-pad columns. bf16 Cin rows — each slab
+    is read by three output d-slices, so the shift cost amortises 3×."""
+    lane_in = jax.lax.broadcasted_iota(jnp.int32, (CIN, HW), 1)
+    dtype = xs_vmem.dtype
+    for s in range(DT + 2):
+        # Mosaic's lane rotate is 32-bit only — roll in f32, store bf16.
+        x0 = xs_vmem[s, pl.ds(CIN, CIN), :].astype(jnp.float32)
+        xs_vmem[s, pl.ds(0, CIN), :] = _roll_w_masked(
+            x0, 1, lane_in, W).astype(dtype)
+        xs_vmem[s, pl.ds(2 * CIN, CIN), :] = _roll_w_masked(
+            x0, -1, lane_in, W).astype(dtype)
+
+
+def _conv_kernel_kstack(xp_ref, wstack_ref, bias_ref, out_ref, xs_vmem, sem,
+                        *, DT, HW, W, CIN, COUT):
+    """kstack form of :func:`_conv_kernel`. Grid (B, D//DT).
+    wstack_ref: (3*COUT, 9*CIN) — rows (kh, co), K ordered (kd, kw, ci).
+    xs_vmem: (DT+2, 3*CIN, HW) — per slab the three w-shifted copies.
+    Per output d-slice: ONE GEMM over K = (kd, kw, ci) = 9·CIN against the
+    zero-copy (9·CIN, HW) window, then a 2-roll/2-mask/3-add h-combine on
+    the (COUT, HW) f32 result — vs the legacy form's 8 rolls/8 masks."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    dma = pltpu.make_async_copy(
+        xp_ref.at[b, pl.ds(i * DT, DT + 2)],
+        xs_vmem.at[:, pl.ds(CIN, CIN), :], sem,
+    )
+    dma.start()
+    dma.wait()
+
+    _build_wshift_slabs(xs_vmem, DT, CIN, W, HW)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (COUT, HW), 1)
+    fused = 3 * COUT * HW * 4 <= _YS_BUDGET
+
+    def body(d, _):
+        bmat = xs_vmem[pl.ds(d, 3), :, :].reshape(9 * CIN, HW)
+        acc = bias_ref[:] * jnp.ones((COUT, HW), jnp.float32)
+        if fused:
+            ys = jax.lax.dot_general(
+                wstack_ref[:], bmat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (3*COUT, HW), kh-major
+            acc = acc + ys[COUT:2 * COUT, :]
+            acc = acc + _roll_h_masked(ys[:COUT, :], 1, lane, W, HW)
+            acc = acc + _roll_h_masked(ys[2 * COUT:, :], -1, lane, W, HW)
+        else:
+            for kh in range(3):
+                y = jax.lax.dot_general(
+                    wstack_ref[pl.ds(kh * COUT, COUT), :], bmat,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc + _roll_h_masked(y, 1 - kh, lane, W, HW)
+        out_ref[0, pl.ds(d, 1), :, :] = (
+            acc.astype(out_ref.dtype).reshape(1, COUT, HW)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, DT, body, 0)
+
+
+def _dw_kernel_kstack(xp_ref, dy_ref, dw_ref, xs_vmem, sem,
+                      *, DT, HW, W, CIN, COUT):
+    """kstack dw: ONE GEMM per d-slice — the zero-copy (9·CIN, HW) window
+    against a 3-block h-rolled dy stack → (9*CIN, 3*COUT), rows (kd, kw,
+    ci), cols (kh, co). Only 2 rolls/2 masks per slice vs legacy's 8."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    dma = pltpu.make_async_copy(
+        xp_ref.at[b, pl.ds(i * DT, DT + 2)],
+        xs_vmem.at[:, pl.ds(CIN, CIN), :], sem,
+    )
+    dma.start()
+    dma.wait()
+
+    _build_wshift_slabs(xs_vmem, DT, CIN, W, HW)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (COUT, HW), 1)
+
+    def body(d, acc):
+        bmat = xs_vmem[pl.ds(d, 3), :, :].reshape(9 * CIN, HW)
+        dy0 = dy_ref[0, pl.ds(d, 1), :, :].reshape(COUT, HW).astype(
+            jnp.float32)
+        dys = jnp.concatenate(
+            [_roll_h_masked(dy0, kh - 1, lane, W, HW) for kh in range(3)],
+            axis=0,
+        ).astype(xs_vmem.dtype)  # (3*COUT, HW), kh-major
+        return acc + jax.lax.dot_general(
+            bmat, dys,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (9*CIN, 3*COUT)
+
+    acc = jax.lax.fori_loop(0, DT, body, jnp.zeros_like(dw_ref))
+    dw_ref[:] = dw_ref[:] + acc
+
+
 def _wstack(w: jax.Array, dtype) -> jax.Array:
     """(3,3,3,Cin,Cout) → (9*Cout, 3*Cin): row block (kh, kw), K=(kd, ci)."""
     k = jnp.transpose(w, (1, 2, 4, 0, 3))  # (kh, kw, Cout, kd, Cin)
     return k.reshape(9 * w.shape[4], 3 * w.shape[3]).astype(dtype)
+
+
+def _wstack_k(w: jax.Array, dtype) -> jax.Array:
+    """(3,3,3,Cin,Cout) → (3*Cout, 9*Cin): rows (kh, co), K=(kd, kw, ci)."""
+    k = jnp.transpose(w, (1, 4, 0, 2, 3))  # (kh, Cout, kd, kw, Cin)
+    return k.reshape(3 * w.shape[4], 9 * w.shape[3]).astype(dtype)
 
 
 def _conv_fwd_impl(xk: jax.Array, w: jax.Array, bias: jax.Array, wdim: int,
@@ -224,23 +361,36 @@ def _conv_fwd_impl(xk: jax.Array, w: jax.Array, bias: jax.Array, wdim: int,
         bias = jnp.pad(bias, (0, cout8 - COUT))
     cout_orig = COUT
     CIN, COUT = cin8, cout8
-    DT = _pick_dt(D, HW, CIN, COUT, xk.dtype.itemsize)
+    kstack = _use_kstack(CIN, COUT, HW, wguard)
+    DT = _pick_dt(D, HW, CIN, COUT, xk.dtype.itemsize,
+                  xfactor=3 if kstack else 1)
 
     xp = jnp.pad(xk, ((0, 0), (1, 1), (0, 0), (0, 0))) if pad_d else xk
-    wstack = _wstack(w, xk.dtype)
     b_col = bias.reshape(COUT, 1).astype(jnp.float32)
 
-    kernel = functools.partial(
-        _conv_kernel, DT=DT, HW=HW, W=wdim, CIN=CIN, COUT=COUT,
-        WGUARD=wguard,
-    )
+    if kstack:
+        kernel = functools.partial(
+            _conv_kernel_kstack, DT=DT, HW=HW, W=wdim, CIN=CIN, COUT=COUT,
+        )
+        wstack = _wstack_k(w, xk.dtype)
+        w_spec = pl.BlockSpec((3 * COUT, 9 * CIN), lambda b, i: (0, 0),
+                              memory_space=pltpu.VMEM)
+        x_scratch = pltpu.VMEM((DT + 2, 3 * CIN, HW), xk.dtype)
+    else:
+        kernel = functools.partial(
+            _conv_kernel, DT=DT, HW=HW, W=wdim, CIN=CIN, COUT=COUT,
+            WGUARD=wguard,
+        )
+        wstack = _wstack(w, xk.dtype)
+        w_spec = pl.BlockSpec((9 * COUT, 3 * CIN), lambda b, i: (0, 0),
+                              memory_space=pltpu.VMEM)
+        x_scratch = pltpu.VMEM((DT + 2, CIN, HW), xk.dtype)
     out = pl.pallas_call(
         kernel,
         grid=(B, D // DT),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((9 * COUT, 3 * CIN), lambda b, i: (0, 0),
-                         memory_space=pltpu.VMEM),
+            w_spec,
             pl.BlockSpec((COUT, 1), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -250,7 +400,7 @@ def _conv_fwd_impl(xk: jax.Array, w: jax.Array, bias: jax.Array, wdim: int,
         ),
         out_shape=jax.ShapeDtypeStruct((B, D, COUT, HW), xk.dtype),
         scratch_shapes=[
-            pltpu.VMEM((DT + 2, CIN, HW), xk.dtype),
+            x_scratch,
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -332,13 +482,28 @@ def _dw_impl(xk: jax.Array, dy: jax.Array, wdim: int,
         dy = jnp.pad(dy, ((0, 0), (0, 0), (0, cout8 - COUT), (0, 0)))
     cin_orig, cout_orig = CIN, COUT
     CIN, COUT = cin8, cout8
-    DT = _pick_dt(D, HW, CIN, COUT, xk.dtype.itemsize)
+    kstack = _use_kstack(CIN, COUT, HW, wguard)
+    DT = _pick_dt(D, HW, CIN, COUT, xk.dtype.itemsize,
+                  xfactor=3 if kstack else 1)
 
     xp = jnp.pad(xk, ((0, 0), (1, 1), (0, 0), (0, 0))) if pad_d else xk
-    kernel = functools.partial(
-        _dw_kernel, DT=DT, HW=HW, W=wdim, CIN=CIN, COUT=COUT,
-        WGUARD=wguard,
-    )
+    if kstack:
+        kernel = functools.partial(
+            _dw_kernel_kstack, DT=DT, HW=HW, W=wdim, CIN=CIN, COUT=COUT,
+        )
+        out_spec = pl.BlockSpec((9 * CIN, 3 * COUT), lambda b, i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((9 * CIN, 3 * COUT), jnp.float32)
+        x_scratch = pltpu.VMEM((DT + 2, 3 * CIN, HW), xk.dtype)
+    else:
+        kernel = functools.partial(
+            _dw_kernel, DT=DT, HW=HW, W=wdim, CIN=CIN, COUT=COUT,
+            WGUARD=wguard,
+        )
+        out_spec = pl.BlockSpec((3 * CIN, 9 * COUT), lambda b, i: (0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((3 * CIN, 9 * COUT), jnp.float32)
+        x_scratch = pltpu.VMEM((DT + 2, CIN, HW), xk.dtype)
     dw_flat = pl.pallas_call(
         kernel,
         grid=(B, D // DT),
@@ -347,22 +512,24 @@ def _dw_impl(xk: jax.Array, dy: jax.Array, wdim: int,
             pl.BlockSpec((1, DT, COUT, HW), lambda b, i: (b, i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (3 * CIN, 9 * COUT), lambda b, i: (0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((3 * CIN, 9 * COUT), jnp.float32),
+        out_specs=out_spec,
+        out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((DT + 2, CIN, HW), xk.dtype),
+            x_scratch,
             pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(xp, dy)
-    # rows (kd, ci) × cols (kh, kw, co) → (3,3,3,CIN,COUT) = (kd,kh,kw,ci,co)
-    dw = dw_flat.reshape(3, CIN, 3, 3, COUT)
-    dw = jnp.transpose(dw, (0, 2, 3, 1, 4))
+    if kstack:
+        # rows (kd, kw, ci) × cols (kh, co) → (kd, kh, kw, ci, co)
+        dw = dw_flat.reshape(3, 3, CIN, 3, COUT)
+        dw = jnp.transpose(dw, (0, 3, 1, 2, 4))
+    else:
+        # rows (kd, ci) × cols (kh, kw, co) → (kd, kh, kw, ci, co)
+        dw = dw_flat.reshape(3, CIN, 3, 3, COUT)
+        dw = jnp.transpose(dw, (0, 2, 3, 1, 4))
     return dw[:, :, :, :cin_orig, :cout_orig]
 
 
