@@ -266,3 +266,89 @@ def test_wguard_kernel_matches_xla():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(gp[2]), np.asarray(gr[2]),
                                rtol=2e-3, atol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# pfold formulation (w-phases folded into GEMM M rows) — measured SLOWER than
+# the packed kernel on v5e at every stage shape (scripts/pfold_probe.py,
+# BENCH_NOTES_r3), kept as a correct opt-in probe of the kernel family.
+# ---------------------------------------------------------------------------
+
+PFOLD_SHAPES = [
+    (1, 4, 8, 64, 3, 4),
+    (2, 4, 16, 32, 5, 4),
+    (1, 4, 8, 64, 8, 8),
+]
+
+
+@pytest.mark.parametrize("shape", PFOLD_SHAPES)
+def test_pfold_forward_matches_xla(shape):
+    from unet_bssfp_tpu.ops.pallas.conv3d import (
+        conv3x3_pfold, fold4_pack, pfold_supported, unfold4_unpack)
+
+    B, D, H, W, CIN, COUT = shape
+    x = _mk((B, D, H, W, CIN), 40)
+    w = _mk((3, 3, 3, CIN, COUT), 41)
+    bias = _mk((COUT,), 42)
+    assert pfold_supported((B, D, H, W, CIN))
+    xf = fold4_pack(x)
+    np.testing.assert_array_equal(
+        np.asarray(unfold4_unpack(xf, W // 4)), np.asarray(x))
+    got = unfold4_unpack(conv3x3_pfold(xf, w, bias, W // 4, True), W // 4)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), "SAME",
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("shape", PFOLD_SHAPES[:2])
+def test_pfold_vjp_matches_xla(shape):
+    from unet_bssfp_tpu.ops.pallas.conv3d import (
+        conv3x3_pfold, fold4_pack, unfold4_unpack)
+
+    B, D, H, W, CIN, COUT = shape
+    x = _mk((B, D, H, W, CIN), 43)
+    w = _mk((3, 3, 3, CIN, COUT), 44)
+    bias = _mk((COUT,), 45)
+    dyn = _mk((B, D, H, W, COUT), 46)
+    xf = fold4_pack(x)
+    dy = fold4_pack(dyn)
+
+    def ref_fn(x_, w_, b_):
+        return jax.lax.conv_general_dilated(
+            x_, w_, (1, 1, 1), "SAME",
+            dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + b_
+
+    _, vjp_ref = jax.vjp(ref_fn, x, w, bias)
+    dx_r, dw_r, db_r = vjp_ref(dyn)
+    _, vjp_got = jax.vjp(
+        lambda x_, w_, b_: conv3x3_pfold(x_, w_, b_, W // 4, True),
+        xf, w, bias)
+    dx_g, dw_g, db_g = vjp_got(dy)
+    np.testing.assert_allclose(
+        np.asarray(unfold4_unpack(dx_g, W // 4)), np.asarray(dx_r),
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(dw_g), np.asarray(dw_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(db_g), np.asarray(db_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pfold_halo_matches_xla():
+    """Space-sharded variant: input carries a 1-slice d halo per side."""
+    from unet_bssfp_tpu.ops.pallas.conv3d import (
+        conv3x3_pfold_halo, fold4_pack, unfold4_unpack)
+
+    B, D, H, W, CIN, COUT = 2, 4, 8, 64, 5, 4
+    x = _mk((B, D + 2, H, W, CIN), 47)
+    w = _mk((3, 3, 3, CIN, COUT), 48)
+    bias = _mk((COUT,), 49)
+    xp = fold4_pack(x)
+    got = unfold4_unpack(
+        conv3x3_pfold_halo(xp, w, bias, W // 4, True), W // 4)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1, 1, 1), [(0, 0), (1, 1), (1, 1)],
+        dimension_numbers=("NDHWC", "DHWIO", "NDHWC")) + bias
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

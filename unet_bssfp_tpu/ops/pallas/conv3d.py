@@ -613,6 +613,431 @@ conv3x3_packed_halo.defvjp(_halo_vjp_fwd, _halo_vjp_bwd)
 
 
 # ---------------------------------------------------------------------------
+# pfold formulation: w-phases folded into the GEMM's M dim
+# ---------------------------------------------------------------------------
+#
+# The legacy/kstack/wguard kernels all emit (COUT, HW) GEMMs: M = Cout = 32
+# of the MXU's 128 rows — a hard 25 % utilization ceiling at the generator's
+# full-resolution stage shapes, and the measured kernels sit at 22–23 %
+# (BENCH_NOTES_r3). This formulation folds the FOUR w-phases of the output
+# into M instead: activations live as
+#
+#     (B, D, 4·C, H·W/4)      channel index = p·C + c  (phase-major),
+#                             lane index = h·(W/4) + w4,  w = 4·w4 + p
+#
+# so one GEMM emits all four phases: M = 4·Cout = 128 — full MXU rows. The
+# kw taps become *phase mixing*: output phase p, tap offset o ∈ {-1,0,+1}
+# reads input phase p+o, which stays in the same lane for 10 of the 12
+# (p, o) pairs; the two wrap pairs (p=0,o=-1 → phase 3 one lane left;
+# p=3,o=+1 → phase 0 one lane right) are covered by two extra CIN-row
+# shifted strips in the GEMM operand:  K = (kd, [Lm | U·4 | Rp], ci)
+# = 18·Cin.  The weight matrix A places w[kd,kh,o+1] at the (p, block(p,o))
+# positions and is 50 % dense — so the formulation's ceiling is 50 % of
+# peak, 2× the channels-minor kernels', at identical useful FLOPs. kh stays
+# a 2-roll/2-mask h-combine on the f32 result (same element count as
+# kstack's: 4× the rows, ¼ the lanes).
+#
+# The fold itself is free: NDHWC (B,D,H,W,C) reshaped to (B,D,H·W/4, 4·C)
+# is exactly the phase-major folded tensor, so :func:`pack_hw` performs it
+# as the same MXU identity-GEMM relayout the packed path already pays.
+
+_PFOLD_F = 4  # w-fold factor: 4·Cout(32) = 128 = full MXU rows
+
+
+def _pfold_block(p: int, o: int) -> int:
+    """Column block of the (Lm | U0..U3 | Rp) operand for output phase ``p``
+    tap offset ``o``: 0 = Lm (phase 3, one lane left), 1+q = U_q, 5 = Rp
+    (phase 0, one lane right)."""
+    q = p + o
+    if q == -1:
+        return 0
+    if q == _PFOLD_F:
+        return 5
+    return 1 + q
+
+
+def _pfold_wmat(w: jax.Array, dtype) -> jax.Array:
+    """(3,3,3,Cin,Cout) → A (3·4·Cout, 3·6·Cin): rows (kh, p, co), cols
+    (kd, block, ci); zero at the 50 % of (p, block) pairs no tap uses.
+
+    Built by stack/concat rather than ``.at[].set`` — scattering slices of a
+    reversed tensor (the dx call passes ``w[::-1,::-1,::-1]``) crashes XLA's
+    TPU fusion emitter (``Check failed: window.pad_low[i] == 0``)."""
+    CIN, COUT = w.shape[3], w.shape[4]
+    F = _PFOLD_F
+    z = jnp.zeros((3, COUT, 3, CIN), w.dtype)
+    rows = []
+    for p in range(F):
+        cols = [z] * 6
+        for o in (-1, 0, 1):
+            # w[kd, kh, o+1, ci, co] → (kh, co, kd, ci)
+            cols[_pfold_block(p, o)] = jnp.transpose(
+                w[:, :, o + 1], (1, 3, 0, 2))
+        rows.append(jnp.stack(cols, axis=3))     # (3, COUT, 3, 6, CIN)
+    a = jnp.stack(rows, axis=1)                  # (3, F, COUT, 3, 6, CIN)
+    return a.reshape(3 * F * COUT, 3 * 6 * CIN).astype(dtype)
+
+
+def _build_pfold_strips(xs_vmem, DT, CIN, W4, HW4):
+    """Fill the Lm/Rp strips of each slab: the DMA left the folded slab
+    (4·CIN rows) at rows [CIN, 5·CIN); row block [0, CIN) gets phase 3
+    shifted one lane right (value at w4 = phase3[w4-1], SAME-pad masked) and
+    [5·CIN, 6·CIN) gets phase 0 shifted one lane left."""
+    lane_in = jax.lax.broadcasted_iota(jnp.int32, (CIN, HW4), 1)
+    dtype = xs_vmem.dtype
+    for s in range(DT + 2):
+        ph3 = xs_vmem[s, pl.ds(4 * CIN, CIN), :].astype(jnp.float32)
+        xs_vmem[s, pl.ds(0, CIN), :] = _roll_w_masked(
+            ph3, 1, lane_in, W4).astype(dtype)
+        ph0 = xs_vmem[s, pl.ds(CIN, CIN), :].astype(jnp.float32)
+        xs_vmem[s, pl.ds(5 * CIN, CIN), :] = _roll_w_masked(
+            ph0, -1, lane_in, W4).astype(dtype)
+
+
+def _conv_kernel_pfold(xp_ref, wmat_ref, bias_ref, out_ref, xs_vmem, sem,
+                       *, DT, HW4, W4, CIN, COUT):
+    """Grid (B, D//DT). xp_ref: (B, D+2, 4·CIN, HW4) folded, d-padded.
+    wmat_ref: (12·COUT, 18·CIN) from :func:`_pfold_wmat`. out_ref block:
+    (1, DT, 4·COUT, HW4). xs_vmem: (DT+2, 6·CIN, HW4)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    F = _PFOLD_F
+
+    dma = pltpu.make_async_copy(
+        xp_ref.at[b, pl.ds(i * DT, DT + 2)],
+        xs_vmem.at[:, pl.ds(CIN, F * CIN), :], sem,
+    )
+    dma.start()
+    dma.wait()
+
+    _build_pfold_strips(xs_vmem, DT, CIN, W4, HW4)
+    M = F * COUT
+    lane = jax.lax.broadcasted_iota(jnp.int32, (M, HW4), 1)
+    fused = 3 * M * HW4 * 4 <= _YS_BUDGET
+
+    def body(d, _):
+        bmat = xs_vmem[pl.ds(d, 3), :, :].reshape(18 * CIN, HW4)
+        acc = bias_ref[:] * jnp.ones((M, HW4), jnp.float32)
+        if fused:
+            ys = jax.lax.dot_general(
+                wmat_ref[:], bmat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (3·M, HW4), kh-major
+            acc = acc + ys[M:2 * M, :]
+            acc = acc + _roll_h_masked(ys[:M, :], 1, lane, W4, HW4)
+            acc = acc + _roll_h_masked(ys[2 * M:, :], -1, lane, W4, HW4)
+        else:
+            for kh in range(3):
+                y = jax.lax.dot_general(
+                    wmat_ref[pl.ds(kh * M, M), :], bmat,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc + _roll_h_masked(y, 1 - kh, lane, W4, HW4)
+        out_ref[0, pl.ds(d, 1), :, :] = (
+            acc.astype(out_ref.dtype).reshape(1, M, HW4)
+        )
+        return 0
+
+    jax.lax.fori_loop(0, DT, body, 0)
+
+
+def _dw_kernel_pfold(xp_ref, dy_ref, dw_ref, xs_vmem, sem,
+                     *, DT, HW4, W4, CIN, COUT):
+    """pfold dw: per d-slice ONE GEMM of the (18·CIN, HW4) operand against
+    the 3-block h-rolled folded dy stack → (18·CIN, 12·COUT), rows (kd,
+    block, ci), cols (kh, p, co); the valid (p, block) pairs are summed to
+    taps host-side."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    F = _PFOLD_F
+    M = F * COUT
+
+    @pl.when(jnp.logical_and(b == 0, i == 0))
+    def _():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    dma = pltpu.make_async_copy(
+        xp_ref.at[b, pl.ds(i * DT, DT + 2)],
+        xs_vmem.at[:, pl.ds(CIN, F * CIN), :], sem,
+    )
+    dma.start()
+    dma.wait()
+
+    _build_pfold_strips(xs_vmem, DT, CIN, W4, HW4)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (M, HW4), 1)
+
+    def body(d, acc):
+        bmat = xs_vmem[pl.ds(d, 3), :, :].reshape(18 * CIN, HW4)
+        dy0 = dy_ref[0, pl.ds(d, 1), :, :].reshape(M, HW4).astype(
+            jnp.float32)
+        dys = jnp.concatenate(
+            [_roll_h_masked(dy0, kh - 1, lane, W4, HW4) for kh in range(3)],
+            axis=0,
+        ).astype(xs_vmem.dtype)  # (3·M, HW4), kh-major
+        return acc + jax.lax.dot_general(
+            bmat, dys,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (18·CIN, 3·M)
+
+    acc = jax.lax.fori_loop(0, DT, body, jnp.zeros_like(dw_ref))
+    dw_ref[:] = dw_ref[:] + acc
+
+
+def _pick_dt_pfold(d: int, hw4: int, cin: int, cout: int,
+                   itemsize: int = 2) -> int:
+    F = _PFOLD_F
+    x_slice = 6 * cin * hw4 * itemsize           # strips + folded slab
+    o_slice = F * cout * hw4 * itemsize
+    temps = 6 * F * cout * hw4 * 4
+    for dt in (8, 4, 2, 1):
+        total = (dt + 2) * x_slice + 2 * dt * o_slice + temps
+        if d % dt == 0 and total <= _VMEM_BUDGET:
+            return dt
+    return 1
+
+
+def _pfold_pad_channels(xf: jax.Array, c: int) -> Tuple[jax.Array, int]:
+    """Pad the per-phase channel count to a sublane multiple (the kernels
+    slice phase blocks at offsets p·CIN). Production channel counts (24, 32,
+    96) need no pad; the general path un-interleaves, pads, re-interleaves —
+    test-shape only."""
+    c8 = _sub(c)
+    if c8 == c:
+        return xf, c
+    b, d, fc, hw4 = xf.shape
+    x5 = xf.reshape(b, d, _PFOLD_F, c, hw4)
+    x5 = jnp.pad(x5, ((0, 0), (0, 0), (0, 0), (0, c8 - c), (0, 0)))
+    return x5.reshape(b, d, _PFOLD_F * c8, hw4), c8
+
+
+def _pfold_fwd_impl(xf: jax.Array, w: jax.Array, bias: jax.Array,
+                    w4dim: int, interpret: bool = False,
+                    pad_d: bool = True) -> jax.Array:
+    """xf: (B, D, 4·CIN, HW4) phase-major folded; returns (B, D, 4·COUT,
+    HW4). ``pad_d=False``: xf already carries a 1-slice d halo per side."""
+    B, D, FCIN, HW4 = xf.shape
+    if not pad_d:
+        D = D - 2
+    F = _PFOLD_F
+    CIN = FCIN // F
+    COUT = w.shape[4]
+    assert FCIN == F * CIN and HW4 % 128 == 0 and HW4 % w4dim == 0
+    xf, cin8 = _pfold_pad_channels(xf, CIN)
+    if cin8 != CIN:
+        w = jnp.pad(w, ((0, 0),) * 3 + ((0, cin8 - CIN), (0, 0)))
+        CIN = cin8
+    cout8 = _sub(COUT)
+    if cout8 != COUT:
+        w = jnp.pad(w, ((0, 0),) * 4 + ((0, cout8 - COUT),))
+        bias = jnp.pad(bias, (0, cout8 - COUT))
+    cout_orig = COUT
+    COUT = cout8
+    DT = _pick_dt_pfold(D, HW4, CIN, COUT, xf.dtype.itemsize)
+
+    xp = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0))) if pad_d else xf
+    # bias per output row (p, co): tiled phase-major
+    b_col = jnp.tile(bias.astype(jnp.float32), F).reshape(F * COUT, 1)
+
+    kernel = functools.partial(
+        _conv_kernel_pfold, DT=DT, HW4=HW4, W4=w4dim, CIN=CIN, COUT=COUT,
+    )
+    wmat = _pfold_wmat(w, xf.dtype)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, D // DT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((3 * F * COUT, 18 * CIN), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((F * COUT, 1), lambda b, i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, DT, F * COUT, HW4), lambda b, i: (b, i, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, D, F * COUT, HW4), xf.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((DT + 2, 6 * CIN, HW4), xf.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(xp, wmat, b_col)
+    if cout_orig != COUT:
+        out = out.reshape(B, D, F, COUT, HW4)[:, :, :, :cout_orig]
+        out = out.reshape(B, D, F * cout_orig, HW4)
+    return out
+
+
+def _pfold_dw_impl(xf: jax.Array, dy: jax.Array, w4dim: int,
+                   interpret: bool = False, pad_d: bool = True) -> jax.Array:
+    B, D, FCIN, HW4 = xf.shape
+    if not pad_d:
+        D = D - 2
+    F = _PFOLD_F
+    CIN = FCIN // F
+    COUT = dy.shape[2] // F
+    xf, cin8 = _pfold_pad_channels(xf, CIN)
+    cin_orig, CIN = CIN, cin8
+    dy, cout8 = _pfold_pad_channels(dy, COUT)
+    cout_orig, COUT = COUT, cout8
+    DT = _pick_dt_pfold(D, HW4, CIN, COUT, xf.dtype.itemsize)
+
+    xp = jnp.pad(xf, ((0, 0), (1, 1), (0, 0), (0, 0))) if pad_d else xf
+    kernel = functools.partial(
+        _dw_kernel_pfold, DT=DT, HW4=HW4, W4=w4dim, CIN=CIN, COUT=COUT,
+    )
+    dw_flat = pl.pallas_call(
+        kernel,
+        grid=(B, D // DT),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, DT, F * COUT, HW4), lambda b, i: (b, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((18 * CIN, 3 * F * COUT),
+                               lambda b, i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((18 * CIN, 3 * F * COUT),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((DT + 2, 6 * CIN, HW4), xf.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(xp, dy)
+    # rows (kd, block, ci) × cols (kh, p, co): each (p, o) pair contributes
+    # to tap (kh, o+1) from its block — sum the 4 phases per tap.
+    m = dw_flat.reshape(3, 6, CIN, 3, F, COUT)
+    dw = jnp.zeros((3, 3, 3, CIN, COUT), jnp.float32)
+    for o in (-1, 0, 1):
+        tap = sum(
+            jnp.transpose(m[:, _pfold_block(p, o), :, :, p, :], (0, 2, 1, 3))
+            for p in range(F)
+        )  # (kd, kh, ci, co)
+        dw = dw.at[:, :, o + 1].set(tap)
+    return dw[:, :, :, :cin_orig, :cout_orig]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3_pfold(xf: jax.Array, w: jax.Array, bias: jax.Array,
+                  w4dim: int, interpret: bool = False) -> jax.Array:
+    """SAME 3×3×3 conv on a phase-major w-folded tensor.
+
+    xf: (B, D, 4·Cin, H·(W/4)) (see :func:`fold4_pack`); w: (3,3,3,Cin,
+    Cout); bias: (Cout,); ``w4dim`` = W/4. Returns (B, D, 4·Cout, H·W/4).
+    Equivalent to NDHWC ``lax.conv_general_dilated(..., 'SAME')`` + bias up
+    to layout; GEMM M = 4·Cout = full MXU rows at the Cout=32 stages (2× the
+    channels-minor formulation ceiling — see the section comment)."""
+    return _pfold_fwd_impl(xf, w.astype(xf.dtype), bias, w4dim, interpret)
+
+
+def _flip_t_stacked(w: jax.Array) -> jax.Array:
+    """``transpose(w[::-1,::-1,::-1], (0,1,2,4,3))`` built from static
+    slices + stacks: feeding a ``rev`` of ``w`` into :func:`_pfold_wmat`'s
+    stack/concat graph crashes XLA's TPU fusion emitter (``Check failed:
+    window.pad_low[i] == 0 (-1 vs. 0)``); the stacked form lowers clean."""
+    s = jnp.stack([w[2], w[1], w[0]], axis=0)
+    s = jnp.stack([s[:, 2], s[:, 1], s[:, 0]], axis=1)
+    s = jnp.stack([s[:, :, 2], s[:, :, 1], s[:, :, 0]], axis=2)
+    return jnp.transpose(s, (0, 1, 2, 4, 3))
+
+
+def _pfold_vjp_fwd(xf, w, bias, w4dim, interpret):
+    return conv3x3_pfold(xf, w, bias, w4dim, interpret), (xf, w)
+
+
+def _pfold_vjp_bwd(w4dim, interpret, res, dy):
+    xf, w = res
+    w_flip_t = _flip_t_stacked(w)
+    dx = _pfold_fwd_impl(
+        dy, w_flip_t.astype(dy.dtype),
+        jnp.zeros((w.shape[3],), jnp.float32), w4dim, interpret,
+    )
+    dw = _pfold_dw_impl(xf, dy, w4dim, interpret).astype(w.dtype)
+    F = _PFOLD_F
+    b_, d_, fco, hw4 = dy.shape
+    db = jnp.sum(
+        dy.astype(jnp.float32).reshape(b_, d_, F, fco // F, hw4),
+        axis=(0, 1, 2, 4))
+    return dx.astype(xf.dtype), dw, db.astype(jnp.float32)
+
+
+conv3x3_pfold.defvjp(_pfold_vjp_fwd, _pfold_vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def conv3x3_pfold_halo(xp: jax.Array, w: jax.Array, bias: jax.Array,
+                       w4dim: int, interpret: bool = False) -> jax.Array:
+    """:func:`conv3x3_pfold` on an input carrying a 1-slice d halo per side
+    (space-sharded callers exchange real neighbour slices)."""
+    return _pfold_fwd_impl(xp, w.astype(xp.dtype), bias, w4dim, interpret,
+                           pad_d=False)
+
+
+def _pfold_halo_vjp_fwd(xp, w, bias, w4dim, interpret):
+    return conv3x3_pfold_halo(xp, w, bias, w4dim, interpret), (xp, w)
+
+
+def _pfold_halo_vjp_bwd(w4dim, interpret, res, dy):
+    xp, w = res
+    w_flip_t = _flip_t_stacked(w)
+    dyp = jnp.pad(dy, ((0, 0), (2, 2), (0, 0), (0, 0)))
+    dxp = _pfold_fwd_impl(
+        dyp, w_flip_t.astype(dy.dtype),
+        jnp.zeros((w.shape[3],), jnp.float32), w4dim, interpret, pad_d=False,
+    )
+    dw = _pfold_dw_impl(xp, dy, w4dim, interpret, pad_d=False).astype(
+        w.dtype)
+    F = _PFOLD_F
+    b_, d_, fco, hw4 = dy.shape
+    db = jnp.sum(
+        dy.astype(jnp.float32).reshape(b_, d_, F, fco // F, hw4),
+        axis=(0, 1, 2, 4))
+    return dxp.astype(xp.dtype), dw, db.astype(jnp.float32)
+
+
+conv3x3_pfold_halo.defvjp(_pfold_halo_vjp_fwd, _pfold_halo_vjp_bwd)
+
+
+def fold4_pack(x: jax.Array) -> jax.Array:
+    """NDHWC (B, D, H, W, C) → phase-major w-folded (B, D, 4·C, H·W/4).
+
+    The fold is a free reshape — (B,D,H,W/4,4·C) with channel index
+    p·C + c — followed by the same MXU identity-GEMM relayout as
+    :func:`pack_hw`."""
+    b, d, h, w, c = x.shape
+    F = _PFOLD_F
+    assert w % F == 0
+    return pack_hw(x.reshape(b, d, h, w // F, F * c))
+
+
+def unfold4_unpack(xf: jax.Array, w4dim: int) -> jax.Array:
+    """Inverse of :func:`fold4_pack` (``w4dim`` = W/4)."""
+    b, d, fc, hw4 = xf.shape
+    F = _PFOLD_F
+    x5 = unpack_hw(xf, w4dim)          # (B, D, H, W/4, 4·C)
+    return x5.reshape(b, d, hw4 // w4dim, w4dim * F, fc // F)
+
+
+def pfold_supported(shape: Tuple[int, ...]) -> bool:
+    """Static gate: NDHWC shape (B, D, H, W, C) the pfold kernel can take."""
+    if len(shape) != 5:
+        return False
+    _, d, h, w, c = shape
+    F = _PFOLD_F
+    return (w % F == 0 and (h * w // F) % 128 == 0 and w // F >= 2
+            and h >= 3 and d >= 1 and F * c <= 512)
+
+
+# ---------------------------------------------------------------------------
 # Multi-chip SPMD: shard_map wrappers over the data axis
 # ---------------------------------------------------------------------------
 #
