@@ -24,10 +24,14 @@ def _init(module, *args, train=False):
 
 
 def test_unet_shapes():
+    # eval_shape: full shape propagation without an XLA compile (the
+    # odd-shape test below runs the real thing).
     net = BasicUNet3D(out_channels=6, features=SMALL_FEATURES)
     x = jnp.zeros((1, 16, 16, 16, 24))
-    variables = _init(net, x)
-    y = net.apply(variables, x, train=False)
+    variables = jax.eval_shape(
+        lambda: net.init(jax.random.PRNGKey(0), x, train=False))
+    y = jax.eval_shape(
+        lambda v: net.apply(v, x, train=False), variables)
     assert y.shape == (1, 16, 16, 16, 6)
 
 
@@ -117,7 +121,9 @@ def test_generator_param_count_full_size():
     (MONAI BasicUNet(24→6, (32,64,128,256,512,32)) ≈ 19.7M params + head)."""
     gen = Generator(modality="pc-bssfp")
     x = jnp.zeros((1, 16, 16, 16, 24))
-    variables = _init(gen, x)
+    # eval_shape: param shapes without materialising 20M weights.
+    variables = jax.eval_shape(
+        lambda: gen.init(jax.random.PRNGKey(0), x, train=False))
     n = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(
         variables["params"]))
     assert 15e6 < n < 25e6, f"param count {n}"

@@ -96,6 +96,7 @@ def test_conv_auto_falls_back_when_indivisible(mesh):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow  # dp-only mesh; the dp*sp variant below stays fast and covers both axes
 def test_packed_unet_on_mesh_matches_plain(mesh):
     """BasicUNet3D(packed=True) applied under the mesh context inside a
     sharded jit == the plain model on the same params."""

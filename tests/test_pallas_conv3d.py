@@ -103,6 +103,7 @@ def test_packed_unet_matches_plain():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow  # model-level grad parity; kernel VJPs stay in the fast tier
 def test_packed_unet_grad_parity():
     from unet_bssfp_tpu.models.unet import BasicUNet3D
 

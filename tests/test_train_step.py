@@ -69,6 +69,7 @@ def test_train_step_runs_and_updates(setup):
     assert max(jax.tree_util.tree_leaves(bs_diff)) > 0
 
 
+@pytest.mark.slow  # compiles the step twice; determinism integration guard
 def test_train_step_deterministic(setup):
     mesh, gen, disc, state, x, y = setup
     step = make_train_step(gen, disc, TCFG, mesh=mesh, donate=False)
@@ -117,6 +118,7 @@ def test_sharded_matches_single_device(setup):
         )
 
 
+@pytest.mark.slow  # multi-step training dynamics
 def test_l1_only_loss_decreases_autoencoder():
     """Tiny autoencoder sanity: recon loss drops over a few steps."""
     mcfg = dataclasses.replace(MCFG, features=(4, 4, 8, 8, 8, 4))
