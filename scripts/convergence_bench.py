@@ -45,7 +45,7 @@ def git_rev() -> str:
         return "unknown"
 
 
-def run(epochs: int, smoke: bool) -> dict:
+def run(epochs: int, smoke: bool, full_objective: bool = False) -> dict:
     import jax
 
     from unet_bssfp_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
@@ -108,8 +108,12 @@ def run(epochs: int, smoke: bool) -> dict:
             log_dir=os.path.join(tmp, "logs"),
             checkpoint_dir=os.path.join(tmp, "ckpts"),
             max_epochs=epochs,
-            # the benched objective (BCE+L1), matching BENCH/PARITY records
-            with_perceptual=False,
+            # default: the benched objective (BCE+L1), matching BENCH/PARITY
+            # records; --full-objective trains the framework's shipped
+            # default (+MedicalNet perceptual — random features unless real
+            # weights are installed, so quality numbers are NOT comparable
+            # across that mode switch and are recorded with a flag).
+            with_perceptual=full_objective,
             seed=42,
         ),
     )
@@ -131,6 +135,7 @@ def run(epochs: int, smoke: bool) -> dict:
         "git": git_rev(),
         "device": jax.devices()[0].device_kind,
         "smoke": smoke,
+        "full_objective": full_objective,
         "epochs": len(rows),
         "wall_seconds": round(wall, 1),
         "train_L1_first": round(float(first["train_gen_loss_recon_L1"]), 4),
@@ -147,10 +152,12 @@ def main() -> int:
                     help="tiny volumes for CPU smoke testing")
     ap.add_argument("--tolerance", type=float, default=0.5,
                     help="allowed final-val-PSNR regression (dB)")
+    ap.add_argument("--full-objective", action="store_true",
+                    help="train the shipped default objective (+perceptual)")
     ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
 
-    record = run(args.epochs, args.smoke)
+    record = run(args.epochs, args.smoke, args.full_objective)
     print(json.dumps(record, indent=2))
 
     history = []
@@ -160,6 +167,7 @@ def main() -> int:
     prior = [
         r for r in history
         if r.get("smoke") == args.smoke and r["epochs"] == record["epochs"]
+        and r.get("full_objective", False) == args.full_objective
     ]
     if not args.no_record:
         history.append(record)
