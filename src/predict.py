@@ -23,7 +23,11 @@ import numpy as np
 def main() -> None:
     parser = argparse.ArgumentParser(description="bSSFP/T1w → DT inference")
     parser.add_argument("input", help="preprocessed input NIfTI")
-    parser.add_argument("--checkpoint", required=True)
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument(
+        "--exported", default=None,
+        help="serve from a src/export.py artifact instead of a checkpoint",
+    )
     parser.add_argument("--modality", default="pc-bssfp")
     parser.add_argument("--out-dir", default=".")
     parser.add_argument("--config", default=None, help="JSON config path")
@@ -45,6 +49,8 @@ def main() -> None:
         help="force whole-volume inference",
     )
     args = parser.parse_args()
+    if args.checkpoint is None and args.exported is None:
+        parser.error("one of --checkpoint / --exported is required")
 
     import jax
     import jax.numpy as jnp
@@ -60,25 +66,25 @@ def main() -> None:
     from unet_bssfp_tpu.train.state import build_models, create_gan_state
     from unet_bssfp_tpu.train.steps import make_predict_fn
 
-    if args.config:
+    exported_call = None
+    if args.exported:
+        # Serving from a frozen artifact: no checkpoint, no model build —
+        # the shape/weights live in the file (src/export.py).
+        from unet_bssfp_tpu.eval.export import load_exported
+
+        exported_call, exported_meta = load_exported(args.exported)
+        target_shape = tuple(exported_meta["input_shape"][1:4])
+    elif args.config:
         with open(args.config) as f:
             config = Config.from_json(f.read())
     else:
         saved = load_config_for_checkpoint(args.checkpoint)
         config = Config.from_json(saved) if saved else Config()
-
-    # Default to the mode the checkpoint was trained with: patch-trained
-    # models get patch-stitched inference so InstanceNorm moments match
-    # training (same rule as eval_model).
-    if args.patch:
-        whole_volume = False
-    elif args.whole_volume:
-        whole_volume = True
-    else:
-        whole_volume = config.data.whole_volume
+    if exported_call is None:
+        target_shape = tuple(config.data.volume_shape)
 
     data, affine = load_volume(args.input)
-    vol = crop_or_pad(jnp.asarray(data), config.data.volume_shape)
+    vol = crop_or_pad(jnp.asarray(data), target_shape)
     # crop_or_pad shifts the voxel grid: carry the shift into the affine so
     # the prediction stays registered to the source.
     # Matches crop_or_pad: crop start (cur-tgt)//2 for crop, -(tgt-cur)//2
@@ -87,31 +93,48 @@ def main() -> None:
         return (cur - tgt) // 2 if cur >= tgt else -((tgt - cur) // 2)
 
     offset = [
-        _offset(data.shape[i], config.data.volume_shape[i]) for i in range(3)
+        _offset(data.shape[i], target_shape[i]) for i in range(3)
     ]
     affine = np.asarray(affine, np.float64).copy()
     affine[:3, 3] += affine[:3, :3] @ np.asarray(offset, np.float64)
 
-    gen, _ = build_models(args.modality, config.model)
-    state = create_gan_state(
-        jax.random.PRNGKey(0), args.modality, config.model, config.train,
-        patch_size=config.data.patch_size,
-    )
-    state = load_checkpoint(args.checkpoint, state)
-    predict_fn = make_predict_fn(gen)
+    if exported_call is not None:
+        t0 = time.perf_counter()
+        pred = exported_call(vol[None].astype(jnp.float32))[0]
+        pred_np = np.asarray(jax.device_get(pred), np.float32)
+        print(f"inference: {time.perf_counter() - t0:.3f}s "
+              f"(exported artifact, whole-volume)")
+    else:
+        # Default to the mode the checkpoint was trained with: patch-trained
+        # models get patch-stitched inference so InstanceNorm moments match
+        # training (same rule as eval_model).
+        if args.patch:
+            whole_volume = False
+        elif args.whole_volume:
+            whole_volume = True
+        else:
+            whole_volume = config.data.whole_volume
 
-    t0 = time.perf_counter()
-    pred = predict_volume(
-        predict_fn,
-        state,
-        vol,
-        patch_size=config.data.patch_size,
-        out_channels=config.model.out_channels,
-        whole_volume=whole_volume,
-    )
-    pred_np = np.asarray(pred, np.float32)
-    print(f"inference: {time.perf_counter() - t0:.3f}s "
-          f"({'whole-volume' if whole_volume else 'patch-stitched'})")
+        gen, _ = build_models(args.modality, config.model)
+        state = create_gan_state(
+            jax.random.PRNGKey(0), args.modality, config.model, config.train,
+            patch_size=config.data.patch_size,
+        )
+        state = load_checkpoint(args.checkpoint, state)
+        predict_fn = make_predict_fn(gen)
+
+        t0 = time.perf_counter()
+        pred = predict_volume(
+            predict_fn,
+            state,
+            vol,
+            patch_size=config.data.patch_size,
+            out_channels=config.model.out_channels,
+            whole_volume=whole_volume,
+        )
+        pred_np = np.asarray(pred, np.float32)
+        print(f"inference: {time.perf_counter() - t0:.3f}s "
+              f"({'whole-volume' if whole_volume else 'patch-stitched'})")
 
     os.makedirs(args.out_dir, exist_ok=True)
     base = os.path.basename(args.input).split(".nii")[0]
