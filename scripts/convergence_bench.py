@@ -45,7 +45,8 @@ def git_rev() -> str:
         return "unknown"
 
 
-def run(epochs: int, smoke: bool, full_objective: bool = False) -> dict:
+def run(epochs: int, smoke: bool, full_objective: bool = False,
+        linked: bool = False) -> dict:
     import jax
 
     from unet_bssfp_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
@@ -72,7 +73,8 @@ def run(epochs: int, smoke: bool, full_objective: bool = False) -> dict:
         "CONVBENCH_DATA",
         os.path.join(
             tempfile.gettempdir(),
-            f"convbench_data_{'smoke' if smoke else 'full'}_s{subjects}",
+            f"convbench_data_{'smoke' if smoke else 'full'}_s{subjects}"
+            + ("_linked" if linked else ""),
         ),
     )
     marker = os.path.join(cache, ".complete")
@@ -85,6 +87,7 @@ def run(epochs: int, smoke: bool, full_objective: bool = False) -> dict:
             sessions=("1",),
             volume_shape=vol,
             seed=0,
+            linked=linked,
         )
         with open(marker, "w") as f:
             f.write("ok\n")
@@ -136,6 +139,7 @@ def run(epochs: int, smoke: bool, full_objective: bool = False) -> dict:
         "device": jax.devices()[0].device_kind,
         "smoke": smoke,
         "full_objective": full_objective,
+        "linked": linked,
         "epochs": len(rows),
         "wall_seconds": round(wall, 1),
         "train_L1_first": round(float(first["train_gen_loss_recon_L1"]), 4),
@@ -154,10 +158,16 @@ def main() -> int:
                     help="allowed final-val-PSNR regression (dB)")
     ap.add_argument("--full-objective", action="store_true",
                     help="train the shipped default objective (+perceptual)")
+    ap.add_argument("--linked", action="store_true",
+                    help="learnable fixture regime: DT is a fixed global "
+                         "deterministic function of the bSSFP field, so "
+                         "quality can approach the reference's 30-43 dB "
+                         "PSNR regime instead of the unlinked fixture's "
+                         "~15 dB smoothness-prior floor")
     ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
 
-    record = run(args.epochs, args.smoke, args.full_objective)
+    record = run(args.epochs, args.smoke, args.full_objective, args.linked)
     print(json.dumps(record, indent=2))
 
     history = []
@@ -168,6 +178,7 @@ def main() -> int:
         r for r in history
         if r.get("smoke") == args.smoke and r["epochs"] == record["epochs"]
         and r.get("full_objective", False) == args.full_objective
+        and r.get("linked", False) == args.linked
     ]
     if not args.no_record:
         history.append(record)

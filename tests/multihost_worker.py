@@ -1,12 +1,17 @@
 """Worker for the two-process multi-host test (``tests/test_multihost.py``).
 
-Each process owns 2 virtual CPU devices, loads ONLY its ``process_split``
-stride-slice of the synthetic BIDS train samples (``data/datamodule.py``),
-assembles the global batch with ``shard_batch`` →
+Each of ``nprocs`` processes owns ``4 // nprocs`` virtual CPU devices, loads
+ONLY its ``process_split`` stride-slice of the synthetic BIDS train samples
+(``data/datamodule.py``), assembles the global batch with ``shard_batch`` →
 ``jax.make_array_from_process_local_data`` (``parallel/mesh.py``), and runs
 one jitted GAN train step over the global 4-device ``data`` mesh. Process 0
-writes the (replicated) metrics and a global-batch fingerprint to JSON for
-the parent to compare against a single-process run.
+writes the (replicated) metrics and a global-batch fingerprint to JSON.
+
+With ``nprocs=1`` this doubles as the single-process reference: the parent
+test compares the 2-process JSON against the 1-process JSON, so BOTH sides
+run under pristine jax config in fresh subprocesses (an in-process reference
+inherits whatever global jax config earlier suite tests left behind, which
+perturbs gradient rounding — the source of a rare in-suite flake).
 
 Usage: python multihost_worker.py <pid> <nprocs> <port> <bids_dir> <out.json>
 """
@@ -20,21 +25,23 @@ def main() -> int:
     pid, nprocs = int(sys.argv[1]), int(sys.argv[2])
     port, bids_dir, out_path = sys.argv[3], sys.argv[4], sys.argv[5]
 
-    # 2 local CPU devices per process, before any backend initialisation.
+    # 4 // nprocs local CPU devices per process, before any backend init.
+    ndev_local = 4 // nprocs
     os.environ["JAX_PLATFORMS"] = "cpu"
     os.environ.pop("XLA_FLAGS", None)
     import jax
 
     jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_num_cpu_devices", 2)
-    jax.distributed.initialize(
-        coordinator_address=f"localhost:{port}",
-        num_processes=nprocs,
-        process_id=pid,
-    )
+    jax.config.update("jax_num_cpu_devices", ndev_local)
+    if nprocs > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"localhost:{port}",
+            num_processes=nprocs,
+            process_id=pid,
+        )
     assert jax.process_count() == nprocs
-    assert len(jax.devices()) == 2 * nprocs
-    assert len(jax.local_devices()) == 2
+    assert len(jax.devices()) == 4
+    assert len(jax.local_devices()) == ndev_local
 
     import jax.numpy as jnp
     import numpy as np
@@ -54,14 +61,14 @@ def main() -> int:
     )
     data = DoveDataModule(bids_dir, config=dcfg)
     data.prepare_data()
-    # 4 train subjects stride-sliced over 2 processes → 2 local samples.
-    assert len(data.train_samples) == 2, (
-        f"process {pid}: expected 2 local samples, "
+    # 4 train subjects stride-sliced over nprocs processes.
+    assert len(data.train_samples) == 4 // nprocs, (
+        f"process {pid}: expected {4 // nprocs} local samples, "
         f"got {len(data.train_samples)}"
     )
 
     vols = [data.load_subject(s, ("dwi-tensor",)) for s in data.train_samples]
-    x_local = np.stack([v["dwi-tensor"] for v in vols])  # (2, 16,16,16, 6)
+    x_local = np.stack([v["dwi-tensor"] for v in vols])
 
     mesh = make_mesh(4)
     batch = shard_batch(mesh, {"x": x_local})
@@ -109,7 +116,8 @@ def main() -> int:
                 },
                 f,
             )
-    jax.distributed.shutdown()
+    if nprocs > 1:
+        jax.distributed.shutdown()
     return 0
 
 

@@ -1,5 +1,7 @@
 """Data layer: BIDS parsing, split, pairing, transforms, samplers, augment."""
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -234,3 +236,48 @@ def test_partial_batch_respects_divisor(bids_root):
         for b in split_batches:
             assert b["dwi-tensor"].shape[0] % 4 == 0
             assert b["dwi-tensor"].shape[0] > 0
+
+
+def test_linked_fixture_is_learnable(tmp_path):
+    """``linked=True``: DT / one-cycle bSSFP / T1w are the fixed global
+    deterministic voxel-wise maps of the pc-bSSFP field that the quality
+    records rely on (scripts/convergence_bench.py --linked), identical
+    across subjects; the default fixture has no such relation."""
+    from unet_bssfp_tpu.data.nifti import load_volume
+    from unet_bssfp_tpu.data.synthetic import _linked_map
+
+    root = make_synthetic_bids(
+        str(tmp_path / "linked"), subjects=("01", "02"), sessions=("1",),
+        volume_shape=(8, 8, 8), linked=True,
+    )
+
+    def vol(sub, rel):
+        path = os.path.join(
+            root, "derivatives", "preproc-dove", f"sub-{sub}", "ses-1",
+            rel.format(sub=sub),
+        )
+        return load_volume(path)[0]
+
+    for sub in ("01", "02"):
+        pc = vol(sub, "dwi/sub-{sub}_ses-1_desc-normflatbet_bssfp.nii.gz")
+        dt = vol(sub, "dwi/sub-{sub}_ses-1_desc-normtensor_dwi.nii.gz")
+        nopc = vol(sub, "dwi/sub-{sub}_ses-1_desc-nfbnopc_bssfp.nii.gz")
+        t1w = vol(sub, "anat/sub-{sub}_ses-1_desc-normrepeat_T1w.nii.gz")
+        np.testing.assert_allclose(dt, _linked_map(pc, 6, tag=1), atol=1e-6)
+        np.testing.assert_allclose(nopc, _linked_map(pc, 24, tag=2),
+                                   atol=1e-6)
+        np.testing.assert_allclose(t1w, _linked_map(pc, 6, tag=3), atol=1e-6)
+        assert 0.0 <= dt.min() and dt.max() <= 1.0
+
+    # default (unlinked) fixture: no such relation
+    root_u = make_synthetic_bids(
+        str(tmp_path / "unlinked"), subjects=("01",), sessions=("1",),
+        volume_shape=(8, 8, 8),
+    )
+    pc = load_volume(os.path.join(
+        root_u, "derivatives", "preproc-dove", "sub-01", "ses-1", "dwi",
+        "sub-01_ses-1_desc-normflatbet_bssfp.nii.gz"))[0]
+    dt = load_volume(os.path.join(
+        root_u, "derivatives", "preproc-dove", "sub-01", "ses-1", "dwi",
+        "sub-01_ses-1_desc-normtensor_dwi.nii.gz"))[0]
+    assert np.abs(dt - _linked_map(pc, 6, tag=1)).max() > 0.05

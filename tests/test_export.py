@@ -7,6 +7,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from unet_bssfp_tpu.config import ModelConfig, TrainConfig
 from unet_bssfp_tpu.eval.export import (
@@ -90,3 +91,58 @@ def test_export_multiplatform_lowering():
     )
     assert sorted(meta["platforms"]) == ["cpu", "tpu"]
     assert len(bytes(exported.serialize())) > 0
+
+
+@pytest.mark.slow
+def test_export_cli_end_to_end(tmp_path):
+    """checkpoint dir (with embedded config) → src/export.py → artifact →
+    src/predict.py --exported → prediction NIfTI. Exercises the CLI glue
+    (config resolution, MODALITY_CHANNELS, artifact IO) in subprocesses."""
+    import subprocess
+    import sys
+
+    from unet_bssfp_tpu.config import Config, DataConfig, TrainConfig
+    from unet_bssfp_tpu.data.nifti import save_volume
+    from unet_bssfp_tpu.train.checkpoint import CheckpointManager
+
+    vol_shape = (16, 16, 16)
+    cfg = Config(
+        data=DataConfig(patch_size=PATCH, volume_shape=vol_shape),
+        model=MCFG,
+        train=TrainConfig(),
+    )
+    ckpt_root = os.path.join(tmp_path, "ckpts")
+    mgr = CheckpointManager(ckpt_root, top_k=1, config_json=cfg.to_json())
+    mgr.save(0, _tiny_state(), {"val_loss": 1.0})
+    mgr.wait()
+    mgr.close()
+    ckpt = os.path.join(ckpt_root, "0")
+    assert os.path.isdir(ckpt)
+
+    vol_path = os.path.join(tmp_path, "vol.nii.gz")
+    rng = np.random.default_rng(1)
+    save_volume(
+        vol_path,
+        rng.standard_normal((*vol_shape, 24)).astype(np.float32),
+        np.eye(4),
+    )
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "UNET_BSSFP_PLATFORM": "cpu", "PYTHONPATH": repo}
+    art = os.path.join(tmp_path, "model.ubx")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "src", "export.py"),
+         "--checkpoint", ckpt, "--modality", "pc-bssfp", "--out", art,
+         "--platforms", "cpu"],
+        check=True, env=env, timeout=600,
+    )
+    assert os.path.getsize(art) > 0
+
+    out_dir = os.path.join(tmp_path, "served")
+    subprocess.run(
+        [sys.executable, os.path.join(repo, "src", "predict.py"), vol_path,
+         "--exported", art, "--out-dir", out_dir],
+        check=True, env=env, timeout=600,
+    )
+    preds = [f for f in os.listdir(out_dir) if f.endswith("_pred-dt.nii.gz")]
+    assert len(preds) == 1

@@ -387,3 +387,37 @@ def test_perceptual_distance_grad_flows_pred_only(net_vars, rng):
     assert float(jnp.sum(jnp.abs(ga))) > 0
     np.testing.assert_array_equal(np.asarray(gb), 0.0)
 
+
+
+def test_pool_pair_exact_forward_and_grad(net_vars, rng):
+    # Lane-paired stem pool (pool_pair=k) must be bitwise-identical to the
+    # plain pool through the whole net, including gradients (the pairing is
+    # a pure batch→channel permutation; windows never mix paired slabs).
+    net, variables = net_vars
+    x = jnp.asarray(rng.standard_normal((4, 16, 16, 16, 1)).astype(np.float32))
+
+    def feats(pool_pair):
+        m = net.clone(pool_pair=pool_pair)
+        return jax.jit(lambda a: m.apply(variables, a, train=False))(x)
+
+    base = np.asarray(feats(1))
+    for k in (2, 4):
+        np.testing.assert_array_equal(np.asarray(feats(k)), base)
+
+    def loss(a, pool_pair):
+        m = net.clone(pool_pair=pool_pair)
+        return jnp.sum(m.apply(variables, a, train=False) ** 2)
+
+    g1 = np.asarray(jax.jit(jax.grad(lambda a: loss(a, 1)))(x))
+    g2 = np.asarray(jax.jit(jax.grad(lambda a: loss(a, 2)))(x))
+    np.testing.assert_array_equal(g1, g2)
+
+    # non-divisible batch falls back to the plain pool
+    x3 = x[:3]
+    m4 = net.clone(pool_pair=4)
+    np.testing.assert_array_equal(
+        np.asarray(jax.jit(lambda a: m4.apply(variables, a, train=False))(x3)),
+        np.asarray(
+            jax.jit(lambda a: net.apply(variables, a, train=False))(x3)
+        ),
+    )

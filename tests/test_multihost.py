@@ -5,7 +5,8 @@ Backs the TPU-pod claims in ``scripts/run_train.sh``: spawns two
 each), each feeding its ``process_split`` stride-slice through
 ``shard_batch``'s ``make_array_from_process_local_data`` branch and running
 one jitted GAN train step over the global 4-device mesh — then asserts the
-global metrics equal a single-process run over the same samples.
+global metrics equal a single-process (4-device) run over the same samples,
+itself executed in a fresh subprocess so both sides see pristine jax config.
 
 The step's metrics/batch-stats are means over the global batch, so they are
 invariant to the inter-process interleaving of samples (dropout is off).
@@ -17,8 +18,6 @@ import socket
 import subprocess
 import sys
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -47,8 +46,7 @@ def bids_root(tmp_path_factory):
     )
 
 
-def test_two_process_training_matches_single(bids_root, tmp_path):
-    out_json = str(tmp_path / "multihost.json")
+def _run_workers(nprocs, bids_root, out_json):
     port = _free_port()
     env = {
         k: v for k, v in os.environ.items()
@@ -57,30 +55,40 @@ def test_two_process_training_matches_single(bids_root, tmp_path):
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(pid), "2", str(port),
+            [sys.executable, WORKER, str(pid), str(nprocs), str(port),
              bids_root, out_json],
             env=env,
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
         )
-        for pid in range(2)
+        for pid in range(nprocs)
     ]
     outs = []
     for p in procs:
         out, _ = p.communicate(timeout=900)
         outs.append(out.decode(errors="replace"))
     for p, out in zip(procs, outs):
-        assert p.returncode == 0, f"worker failed:\n{out}"
+        assert p.returncode == 0, f"worker ({nprocs}-proc) failed:\n{out}"
     with open(out_json) as f:
-        result = json.load(f)
-    assert result["local_samples"] == 2
+        return json.load(f)
 
-    # --- single-process reference over the SAME samples ------------------
-    from unet_bssfp_tpu.config import DataConfig, ModelConfig, TrainConfig
+
+def test_two_process_training_matches_single(bids_root, tmp_path):
+    # Both sides run in FRESH subprocesses: an in-process reference inherits
+    # whatever global jax config earlier suite tests left behind (matmul
+    # precision, x64, debug flags), which perturbs gradient rounding enough
+    # to flip AdamW sign-descent on near-zero gradients — the historical
+    # in-suite flake. Worker-vs-worker removes that failure mode.
+    result = _run_workers(2, bids_root, str(tmp_path / "mh2.json"))
+    single = _run_workers(1, bids_root, str(tmp_path / "mh1.json"))
+    assert result["local_samples"] == 2
+    assert single["local_samples"] == 4
+
+    # --- global-batch assembly fingerprint (numpy-only, no jax) ----------
+    # The union of the two process-local stride-slices must be exactly the
+    # full sample set.
+    from unet_bssfp_tpu.config import DataConfig
     from unet_bssfp_tpu.data.datamodule import DoveDataModule
-    from unet_bssfp_tpu.parallel.mesh import make_mesh, shard_batch
-    from unet_bssfp_tpu.train.state import build_models, create_gan_state
-    from unet_bssfp_tpu.train.steps import make_train_step
 
     dcfg = DataConfig(
         data_dir=bids_root,
@@ -93,47 +101,22 @@ def test_two_process_training_matches_single(bids_root, tmp_path):
     assert len(data.train_samples) == 4
     vols = [data.load_subject(s, ("dwi-tensor",)) for s in data.train_samples]
     x = np.stack([v["dwi-tensor"] for v in vols])
+    for r in (result, single):
+        np.testing.assert_allclose(r["batch_sum"], float(np.sum(x)),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(r["batch_sumsq"], float(np.sum(x * x)),
+                                   rtol=1e-6)
 
-    # global-batch assembly fingerprint: the union of the two process-local
-    # slices must be exactly the full sample set
-    np.testing.assert_allclose(
-        result["batch_sum"], float(np.sum(x)), rtol=1e-6
-    )
-    np.testing.assert_allclose(
-        result["batch_sumsq"], float(np.sum(x * x)), rtol=1e-6
-    )
-
-    mcfg = ModelConfig(
-        features=(4, 4, 4, 4, 8, 4),
-        disc_features=(4, 8),
-        dropout=0.0,
-        compute_dtype="float32",
-        packed=False,
-        folded=False,
-    )
-    # lr=1e-6: the disc loss sees the *updated* G, and early AdamW is
-    # ≈ sign descent — cross-process gradient-reduction-order noise flips
-    # near-zero-gradient signs, so parameter deltas are ±2·lr regardless of
-    # how small the noise is (same property test_torch_parity documents).
-    # A small lr keeps that amplification below the metric tolerance.
-    tcfg = TrainConfig(rng_impl="", lr=1e-6)
-    state = create_gan_state(
-        jax.random.PRNGKey(0), "dwi-tensor", mcfg, tcfg, patch_size=16
-    )
-    mesh = make_mesh(4)
-    gen, disc = build_models("dwi-tensor", mcfg)
-    step = make_train_step(gen, disc, tcfg, mesh=mesh, donate=False)
-    batch = shard_batch(mesh, {"x": jnp.asarray(x)})
-    _, metrics = step(state, batch["x"], batch["x"])
-
-    for k, v in metrics.items():
-        assert k in result["metrics"], k
-        # train_discr_loss is computed AFTER the generator update, so it
-        # inherits the sign-descent amplification described above (observed
-        # up to ~1% in-suite, where earlier tests perturb global jax config
-        # and hence gradient rounding); every PRE-update metric — which is
-        # what actually validates multi-host data assembly, forward, and
-        # loss math — must match tightly.
+    assert set(result["metrics"]) == set(single["metrics"])
+    for k, v in single["metrics"].items():
+        # train_discr_loss is computed AFTER the generator update; early
+        # AdamW is ≈ sign descent, so cross-process gradient-reduction-order
+        # noise flips near-zero-gradient signs and parameter deltas differ
+        # by ±2·lr regardless of how small the noise is (the property
+        # test_torch_parity documents). lr=1e-6 in the worker keeps that
+        # amplification small; every PRE-update metric — which is what
+        # actually validates multi-host data assembly, forward, and loss
+        # math — must match tightly.
         rtol = 2e-2 if k == "train_discr_loss" else 2e-5
         np.testing.assert_allclose(
             result["metrics"][k], float(v), rtol=rtol, atol=2e-6,

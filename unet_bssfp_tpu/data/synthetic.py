@@ -52,6 +52,23 @@ def _smooth_field(rng, shape, channels):
     return np.clip(np.ascontiguousarray(coarse, np.float32), 0.0, 1.0)
 
 
+def _linked_map(x: np.ndarray, out_channels: int, tag: int) -> np.ndarray:
+    """Fixed global deterministic voxel-wise map for the ``linked`` regime.
+
+    ``tanh`` of a seeded random channel mix, rescaled to [0, 1]. The weights
+    depend only on ``tag`` (never on the subject), so the input→target
+    relation is identical across subjects and sessions — a model that learns
+    it on train subjects generalises to val/test subjects.
+    """
+    rng = np.random.default_rng(987650 + tag)
+    cin = x.shape[-1]
+    w = rng.standard_normal((cin, out_channels)).astype(np.float32)
+    w /= np.sqrt(cin)
+    b = 0.1 * rng.standard_normal((out_channels,)).astype(np.float32)
+    z = np.tanh((x - 0.5) @ (2.0 * w) + b)
+    return ((z + 1.0) * 0.5).astype(np.float32)
+
+
 def make_synthetic_bids(
     root: str,
     subjects: Sequence[str] = ("01", "02", "03", "04", "05"),
@@ -59,6 +76,7 @@ def make_synthetic_bids(
     volume_shape: Tuple[int, int, int] = (24, 32, 32),
     seed: int = 0,
     derivatives: str = "derivatives/preproc-dove",
+    linked: bool = False,
 ) -> str:
     """Create the fixture tree; returns ``root``.
 
@@ -66,6 +84,20 @@ def make_synthetic_bids(
     (desc-normflatbet_bssfp, 24ch), a one-cycle bSSFP (desc-nfbnopc_bssfp,
     24ch); per subject (first session): a T1w (desc-normrepeat_T1w, 6ch), a
     brain mask (desc-2mmiso_mask) and a CSF/GM/WM probseg (desc-probseg_T1w).
+
+    ``linked=False`` (default): every volume is an independent smooth random
+    field — there is NO learnable input→target mapping, so trained quality
+    saturates at the smoothness-prior floor (~15 dB val PSNR); fine for
+    pipeline/regression tests, wrong for demonstrating model capacity.
+
+    ``linked=True``: the DT, one-cycle bSSFP and T1w are fixed global
+    deterministic voxel-wise functions of the subject's pc-bSSFP field
+    (``_linked_map``), so ``<modality> → DT`` is exactly learnable and a
+    capable model can approach the reference's 30–43 dB PSNR regime
+    (BASELINE.md finetune table). Use single-session subjects with this
+    regime: the data layer cross-products DT and bSSFP files across sessions
+    (reference ``src/data_module.py:108-117``), and a ses-1 DT paired with a
+    ses-2 bSSFP would break the link.
     """
     rng = np.random.default_rng(seed)
     deriv_root = os.path.join(root, derivatives)
@@ -75,22 +107,33 @@ def make_synthetic_bids(
             for dtype_dir in ("dwi", "anat"):
                 os.makedirs(os.path.join(base, dtype_dir), exist_ok=True)
             pre = f"sub-{sub}_ses-{ses}"
+            if linked:
+                pc = _smooth_field(rng, volume_shape, 24)
+                dt = _linked_map(pc, 6, tag=1)
+                nopc = _linked_map(pc, 24, tag=2)
+            else:
+                # draw order is load-bearing: it pins the byte content of
+                # the (cached, round-tracked) unlinked fixtures
+                dt = _smooth_field(rng, volume_shape, 6)
+                pc = _smooth_field(rng, volume_shape, 24)
+                nopc = _smooth_field(rng, volume_shape, 24)
             save_volume(
                 os.path.join(base, "dwi", f"{pre}_desc-normtensor_dwi.nii.gz"),
-                _smooth_field(rng, volume_shape, 6),
+                dt,
             )
             save_volume(
                 os.path.join(base, "dwi", f"{pre}_desc-normflatbet_bssfp.nii.gz"),
-                _smooth_field(rng, volume_shape, 24),
+                pc,
             )
             save_volume(
                 os.path.join(base, "dwi", f"{pre}_desc-nfbnopc_bssfp.nii.gz"),
-                _smooth_field(rng, volume_shape, 24),
+                nopc,
             )
             if i == 0:
                 save_volume(
                     os.path.join(base, "anat", f"{pre}_desc-normrepeat_T1w.nii.gz"),
-                    _smooth_field(rng, volume_shape, 6),
+                    (_linked_map(pc, 6, tag=3) if linked
+                     else _smooth_field(rng, volume_shape, 6)),
                 )
                 mask = (rng.random(volume_shape) > 0.2).astype(np.float32)
                 save_volume(

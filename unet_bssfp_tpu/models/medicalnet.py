@@ -422,10 +422,23 @@ class MedicalNetResNet10(nn.Module):
 
     ``phase_split``: run the dilated layer3/4 convs as phase-batched dense
     convs (exact numerics, materially faster XLA lowering on TPU — the
-    dilated blocks carry ~80% of the network's FLOPs)."""
+    dilated blocks carry ~80% of the network's FLOPs).
+
+    ``pool_pair``: fold ``pool_pair`` batch slabs onto the channel axis
+    around the stem max-pool. The pool's 64-channel minor dim fills only
+    half the VPU's 128 lanes; max-pool is elementwise over channels, so
+    pairing is a pure permutation — bitwise-exact incl. tie gradients.
+    Isolated, the paired pool measures 1.27× fwd+bwd at k=2 / 1.93× fwd
+    at k=4 on v5e (scripts/pool_pair_probe.py), but inside the full
+    perceptual term it is a WASH (0.99× fwd / 1.01× fwd+bwd,
+    scripts/pool_pair_ab.py) — XLA already overlaps the half-lane pool
+    with neighbouring work, so the relayouts buy nothing in context.
+    Kept as an opt-in knob, NOT auto-enabled. Applied only when it
+    divides the batch."""
 
     dtype: Optional[Any] = None
     phase_split: bool = True
+    pool_pair: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -436,9 +449,24 @@ class MedicalNetResNet10(nn.Module):
             dtype=self.dtype, name="bn1",
         )(y)
         y = nn.relu(y)
-        y = nn.max_pool(
-            y, window_shape=(3, 3, 3), strides=(2, 2, 2), padding=((1, 1),) * 3
-        )
+        k = self.pool_pair
+        if k > 1 and y.shape[0] % k == 0:
+            n, d, h, w, c = y.shape
+            yp = jnp.moveaxis(y.reshape(n // k, k, d, h, w, c), 1, 4)
+            yp = nn.max_pool(
+                yp.reshape(n // k, d, h, w, k * c),
+                window_shape=(3, 3, 3), strides=(2, 2, 2),
+                padding=((1, 1),) * 3,
+            )
+            m, d2, h2, w2, _ = yp.shape
+            y = jnp.moveaxis(
+                yp.reshape(m, d2, h2, w2, k, c), 4, 1
+            ).reshape(n, d2, h2, w2, c)
+        else:
+            y = nn.max_pool(
+                y, window_shape=(3, 3, 3), strides=(2, 2, 2),
+                padding=((1, 1),) * 3,
+            )
         y = BasicBlock3D(64, name="layer1_0", dtype=self.dtype)(y, train)
         y = BasicBlock3D(128, stride=2, name="layer2_0", dtype=self.dtype)(y, train)
         y = BasicBlock3D(256, dilation=2, name="layer3_0", dtype=self.dtype,
@@ -591,7 +619,13 @@ def perceptual_distance(
             c_ * zn_, d_, h_, w_, 1)  # (C*N, d, h, w, 1), order (c, n)
         return jax.lax.optimization_barrier(slabs)
 
-    def features(slabs):
+    # Stem-pool lane pairing (``MedicalNetResNet10.pool_pair``) is NOT
+    # auto-enabled here: a same-process A/B (scripts/pool_pair_ab.py) shows
+    # it is a wash inside the full term — XLA overlaps the half-lane pool
+    # with neighbouring work, so the relayouts buy nothing in context.
+    net_grad = net_eval = net
+
+    def features(slabs, apply_net):
         if chunk and slabs.shape[0] > chunk and slabs.shape[0] % chunk == 0:
             # Bound peak activation memory: the single C·N batch grows the
             # stem/pool activations ~C× vs the sequential form — at whole-
@@ -599,17 +633,17 @@ def perceptual_distance(
             # groups trades a few launches for bounded peak memory.
             groups = slabs.reshape(-1, chunk, *slabs.shape[1:])
             f = jax.lax.map(
-                lambda g: net.apply(variables, g, train=False), groups
+                lambda g: apply_net.apply(variables, g, train=False), groups
             )
             return f.reshape(-1, *f.shape[2:])
-        return net.apply(variables, slabs, train=False)
+        return apply_net.apply(variables, slabs, train=False)
 
     # Separate net calls for pred and target: the target side carries no
     # gradient (it is data), and splitting the calls lets XLA skip the dx
     # convs for that half of the batch — the backward is ~2× cheaper than
     # one fused 2·C·N call (measured ~76 → ~40 ms at the parity shape).
-    fp = features(to_slabs(zp))
-    ft = jax.lax.stop_gradient(features(to_slabs(zt)))
+    fp = features(to_slabs(zp), net_grad)
+    ft = jax.lax.stop_gradient(features(to_slabs(zt), net_eval))
     feats = jnp.concatenate([fp, ft], axis=0)
     # feats: (2*C*N, d', h', w', F)
 
