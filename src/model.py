@@ -78,12 +78,18 @@ class bSSFPToDWITensorModel:
         perceptual_factor: float = 1e3,
         recon_factor: float = 1e2,
         config: Optional[Config] = None,
-        # The reference always constructs PerceptualL1Loss
-        # (src/model.py:146): perceptual-on is the parity default.
-        with_perceptual: bool = True,
+        # The reference always constructs PerceptualL1Loss with PRETRAINED
+        # features (src/model.py:146). None = auto: perceptual-on iff
+        # converted Med3D weights resolve; without them the random-feature
+        # term at 1e3 weighting is measured to hurt voxel fidelity
+        # (train/loop.py::resolve_with_perceptual), so auto falls back to
+        # L1+BCE. True forces it on regardless.
+        with_perceptual: Optional[bool] = None,
         mesh=None,
     ):
         import dataclasses
+
+        from unet_bssfp_tpu.train.loop import resolve_with_perceptual
 
         config = config or Config()
         tcfg = dataclasses.replace(
@@ -91,7 +97,9 @@ class bSSFPToDWITensorModel:
             lr=lr,
             perceptual_factor=perceptual_factor,
             recon_factor=recon_factor,
+            with_perceptual=with_perceptual,
         )
+        with_perceptual = resolve_with_perceptual(tcfg)
         self.config = dataclasses.replace(config, train=tcfg)
         self.input_modality = input_modality
         self.batch_size = batch_size

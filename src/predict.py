@@ -74,6 +74,15 @@ def main() -> None:
 
         exported_call, exported_meta = load_exported(args.exported)
         target_shape = tuple(exported_meta["input_shape"][1:4])
+        batch = int(exported_meta["input_shape"][0])
+        if batch != 1:
+            parser.error(
+                f"exported artifact was frozen at batch={batch}; this CLI "
+                f"serves one volume at a time — re-export with --batch 1"
+            )
+        if args.whole_volume:
+            print("note: --whole-volume is ignored with --exported (the "
+                  "artifact's frozen input shape decides)")
     elif args.config:
         with open(args.config) as f:
             config = Config.from_json(f.read())
@@ -84,6 +93,16 @@ def main() -> None:
         target_shape = tuple(config.data.volume_shape)
 
     data, affine = load_volume(args.input)
+    if exported_call is not None and any(
+        data.shape[i] > target_shape[i] for i in range(3)
+    ):
+        # A --patch export frozen at e.g. 64³ would silently predict only
+        # the centre crop of a larger volume — data loss, not serving.
+        parser.error(
+            f"exported artifact input shape {target_shape} is smaller than "
+            f"the volume {data.shape[:3]}; re-export without --patch (or "
+            f"with a matching volume_shape) to serve whole volumes"
+        )
     vol = crop_or_pad(jnp.asarray(data), target_shape)
     # crop_or_pad shifts the voxel grid: carry the shift into the affine so
     # the prediction stays registered to the source.
@@ -103,7 +122,7 @@ def main() -> None:
         pred = exported_call(vol[None].astype(jnp.float32))[0]
         pred_np = np.asarray(jax.device_get(pred), np.float32)
         print(f"inference: {time.perf_counter() - t0:.3f}s "
-              f"(exported artifact, whole-volume)")
+              f"(exported artifact, frozen input {target_shape})")
     else:
         # Default to the mode the checkpoint was trained with: patch-trained
         # models get patch-stitched inference so InstanceNorm moments match

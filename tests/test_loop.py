@@ -225,11 +225,28 @@ def test_run_multistage_end_to_end(bids_root, tmp_path):
 
 
 def test_perceptual_default_on(bids_root, tmp_path):
-    """VERDICT item 3: the default training objective includes the MedicalNet
-    perceptual term (reference trains with it always, src/model.py:127-146) —
-    one step, metrics gain train_gen_loss_recon_Perceptual."""
+    """The MedicalNet perceptual term (reference trains with it always,
+    src/model.py:127-146) is tri-state: auto (None) resolves on iff
+    pretrained weights exist — the random-feature term at 1e3 weighting is
+    measured to hurt voxel fidelity (CONVERGENCE.json full_objective) — and
+    an explicit True forces it on: one step, metrics gain
+    train_gen_loss_recon_Perceptual."""
+    from unet_bssfp_tpu.models.medicalnet import medicalnet_is_pretrained
+    from unet_bssfp_tpu.train.loop import resolve_with_perceptual
+
     cfg = _config(tmp_path, max_epochs=1)
-    assert TrainConfig().with_perceptual  # framework default
+    tcfg_auto = dataclasses.replace(cfg.train, with_perceptual=None)
+    assert TrainConfig().with_perceptual is None  # framework default: auto
+    # auto == pretrained-weights presence; forcing overrides either way
+    assert resolve_with_perceptual(tcfg_auto) == medicalnet_is_pretrained(
+        tcfg_auto.medicalnet_weights
+    )
+    assert resolve_with_perceptual(
+        dataclasses.replace(cfg.train, with_perceptual=True)
+    )
+    assert not resolve_with_perceptual(
+        dataclasses.replace(cfg.train, with_perceptual=False)
+    )
     cfg = Config(
         data=cfg.data,
         model=cfg.model,

@@ -269,6 +269,53 @@ def test_wguard_kernel_matches_xla():
                                rtol=2e-3, atol=2e-2)
 
 
+def test_wguard_vjp_ignores_guard_cotangents():
+    """The primal's guard columns are constants (always zero), so the VJP
+    must ignore their cotangents. Downstream full-lane reductions —
+    PackedConvNormAct's InstanceNorm sums — DO deliver nonzero guard
+    cotangents; without the `_project_guard_cotangent` projection the
+    guard-unmasked bwd rolls wrap them into data positions (dx rel-err up
+    to ~1 in interpret-mode reproduction). Gradients of a loss over ALL
+    lanes must equal gradients of the same loss over data lanes only."""
+    import os
+
+    from unet_bssfp_tpu.models.packed_layers import guard_cols
+    from unet_bssfp_tpu.ops.pallas.conv3d import conv3x3_packed_halo
+
+    B, D, H, W, CI, CO = 1, 2, 16, 64, 4, 4
+    os.environ["UNET_BSSFP_WGUARD"] = "1"
+    try:
+        g = guard_cols(H, W)
+    finally:
+        del os.environ["UNET_BSSFP_WGUARD"]
+    assert g > 0
+    x = _mk((B, D, H, W, CI), 31)
+    w = _mk((3, 3, 3, CI, CO), 32)
+    bias = _mk((CO,), 33)
+    xg = jnp.pad(x, ((0, 0),) * 3 + ((0, g), (0, 0)))
+    xk = pack_hw(xg)
+
+    def data_lanes(y):
+        return unpack_hw(y, W + g)[:, :, :, :W]
+
+    for conv, xin in (
+        (lambda a, ww, b: conv3x3_packed(a, ww, b, W + g, True, g), xk),
+        (lambda a, ww, b: conv3x3_packed_halo(
+            jnp.pad(a, ((0, 0), (1, 1), (0, 0), (0, 0))), ww, b,
+            W + g, True, g), xk),
+    ):
+        # (y + 1)²: cotangent 2(y+1) is nonzero at guard lanes (y=0 there)
+        g_full = jax.grad(
+            lambda a, ww, b: jnp.sum((conv(a, ww, b) + 1.0) ** 2),
+            argnums=(0, 1, 2))(xin, w, bias)
+        g_data = jax.grad(
+            lambda a, ww, b: jnp.sum((data_lanes(conv(a, ww, b)) + 1.0) ** 2),
+            argnums=(0, 1, 2))(xin, w, bias)
+        for a, b in zip(g_full, g_data):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # pfold formulation (w-phases folded into GEMM M rows) — measured SLOWER than
 # the packed kernel on v5e at every stage shape (scripts/pfold_probe.py,

@@ -114,9 +114,11 @@ class ModelConfig:
     # stages (ops.pallas.conv3d): HBM read once per conv (vs ~27× for XLA's
     # im2col), full MXU lanes — measured 1.9–2.9× fwd+bwd on v5e at the
     # stage shapes. Takes precedence over `folded` where supported.
-    # None = auto: on TPU for single-chip AND pure data-parallel meshes
-    # (the kernels shard_map over the `data` axis); a `space`-sharded mesh
-    # falls back to the folded XLA path (needs conv halo exchange).
+    # None = auto: on for any TPU topology (train.state.auto_packed) — the
+    # kernels shard_map over the `data` axis, and over a `space` axis via
+    # ppermute d-halo exchange (ops.pallas.conv3d::packed_conv_mesh /
+    # conv3x3_packed_halo); per-conv shape gates fall back to folded/XLA
+    # inside the wrapper when an axis does not divide.
     packed: Optional[bool] = None
     # Shifted space-to-depth formulation for the discriminator's k4s2
     # convs (ops.folded.conv_k4s2_folded): same FLOPs, 8× the MXU reduction
@@ -153,10 +155,16 @@ class TrainConfig:
     mesh_axes: Tuple[str, ...] = ("data",)
     wandb_project: Optional[str] = None  # e.g. "dove"; None = CSV-only
     # Build the MedicalNet perceptual term (reference PerceptualL1Loss,
-    # src/model.py:127-146 — the reference ALWAYS trains with it, so True is
-    # the parity default; random features until converted weights are
-    # provided via `medicalnet_weights`).
-    with_perceptual: bool = True
+    # src/model.py:127-146 — the reference ALWAYS trains with it).
+    # None = auto: on iff converted pretrained Med3D weights resolve
+    # (`medicalnet_weights` / weights/ drop-in / $UNET_BSSFP_MEDICALNET) —
+    # the reference's objective is PRETRAINED-perceptual; with the
+    # random-feature fallback the 1e3-weighted term dominates the loss and
+    # is measured to ANTI-correlate with voxel fidelity (CONVERGENCE.json
+    # full_objective record: train L1 0.91→1.03, val PSNR −2.6 dB over 12
+    # on-chip epochs), so auto mode trains L1+BCE instead. True forces the
+    # term on regardless (warned in random-feature mode); False disables.
+    with_perceptual: Optional[bool] = None
     # Fast GAN step: feed the discriminator the generator-phase fake
     # (detached) instead of re-running the updated generator — measured 27%
     # faster per step; False = reference-exact semantics.

@@ -623,9 +623,7 @@ def perceptual_distance(
     # auto-enabled here: a same-process A/B (scripts/pool_pair_ab.py) shows
     # it is a wash inside the full term — XLA overlaps the half-lane pool
     # with neighbouring work, so the relayouts buy nothing in context.
-    net_grad = net_eval = net
-
-    def features(slabs, apply_net):
+    def features(slabs):
         if chunk and slabs.shape[0] > chunk and slabs.shape[0] % chunk == 0:
             # Bound peak activation memory: the single C·N batch grows the
             # stem/pool activations ~C× vs the sequential form — at whole-
@@ -633,17 +631,17 @@ def perceptual_distance(
             # groups trades a few launches for bounded peak memory.
             groups = slabs.reshape(-1, chunk, *slabs.shape[1:])
             f = jax.lax.map(
-                lambda g: apply_net.apply(variables, g, train=False), groups
+                lambda g: net.apply(variables, g, train=False), groups
             )
             return f.reshape(-1, *f.shape[2:])
-        return apply_net.apply(variables, slabs, train=False)
+        return net.apply(variables, slabs, train=False)
 
     # Separate net calls for pred and target: the target side carries no
     # gradient (it is data), and splitting the calls lets XLA skip the dx
     # convs for that half of the batch — the backward is ~2× cheaper than
     # one fused 2·C·N call (measured ~76 → ~40 ms at the parity shape).
-    fp = features(to_slabs(zp), net_grad)
-    ft = jax.lax.stop_gradient(features(to_slabs(zt), net_eval))
+    fp = features(to_slabs(zp))
+    ft = jax.lax.stop_gradient(features(to_slabs(zt)))
     feats = jnp.concatenate([fp, ft], axis=0)
     # feats: (2*C*N, d', h', w', F)
 

@@ -554,12 +554,29 @@ def conv3x3_packed(xk: jax.Array, w: jax.Array, bias: jax.Array,
                           wguard=wguard)
 
 
+def _project_guard_cotangent(dy, wdim, wguard):
+    """Zero ``dy``'s guard columns. The primal's guard outputs are
+    CONSTANTS (identically zero, re-zeroed by the kernel store), so the
+    true VJP ignores their cotangents — but downstream ops that reduce over
+    all lanes (e.g. ``PackedConvNormAct``'s full-lane InstanceNorm sums)
+    deliver nonzero guard components, and the guard-unmasked rolls inside
+    the bwd kernels would wrap them into data positions (dx) and the dw/db
+    contractions would absorb them. One fused XLA select; wguard=0 is
+    free."""
+    if not wguard:
+        return dy
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, dy.shape[-1]), 3)
+    return jnp.where(lane % wdim < wdim - wguard, dy,
+                     jnp.zeros((), dy.dtype))
+
+
 def _vjp_fwd(xk, w, bias, wdim, interpret, wguard):
     return conv3x3_packed(xk, w, bias, wdim, interpret, wguard), (xk, w)
 
 
 def _vjp_bwd(wdim, interpret, wguard, res, dy):
     xk, w = res
+    dy = _project_guard_cotangent(dy, wdim, wguard)
     w_flip_t = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
     dx = _conv_fwd_impl(
         dy, w_flip_t.astype(dy.dtype),
@@ -594,6 +611,7 @@ def _halo_vjp_fwd(xp, w, bias, wdim, interpret, wguard):
 
 def _halo_vjp_bwd(wdim, interpret, wguard, res, dy):
     xp, w = res
+    dy = _project_guard_cotangent(dy, wdim, wguard)
     w_flip_t = jnp.transpose(w[::-1, ::-1, ::-1], (0, 1, 2, 4, 3))
     # dxp[j] = Σ_kd w[kd]ᵀ · dy[j-kd], j ∈ [0, D+2): the transposed conv on
     # dy padded by 2 per side, run through the pre-padded fwd impl.

@@ -82,6 +82,11 @@ class MetricLogger:
             writer.writerow({k: float(v) for k, v in row.items()})
         return path
 
+    @property
+    def wandb_enabled(self) -> bool:
+        """True when a live W&B run backs this logger."""
+        return self._wandb is not None
+
     def log_artifact(
         self,
         path: str,

@@ -9,6 +9,7 @@ from checkpoint — driving the single-jit GAN step over a data-parallel mesh.
 from __future__ import annotations
 
 import datetime
+import logging
 import os
 from typing import Dict, Optional, Tuple
 
@@ -22,6 +23,32 @@ from unet_bssfp_tpu.train.checkpoint import CheckpointManager, load_checkpoint
 from unet_bssfp_tpu.train.logging import EarlyStopping, MetricLogger
 from unet_bssfp_tpu.train.state import GANTrainState, build_models, create_gan_state
 from unet_bssfp_tpu.train.steps import make_eval_step, make_train_step
+
+
+def resolve_with_perceptual(tcfg) -> bool:
+    """Resolve the ``with_perceptual`` tri-state (``config.py``).
+
+    None (auto) → on iff converted pretrained Med3D weights resolve: the
+    reference objective is *pretrained*-perceptual; the random-feature
+    fallback at the reference's 1e3 weighting dominates the loss and is
+    measured to anti-correlate with voxel fidelity (CONVERGENCE.json
+    ``full_objective`` record), so auto mode trains L1+BCE instead. An
+    explicit True still forces the term on (random features warned by
+    ``load_medicalnet``)."""
+    if tcfg.with_perceptual is not None:
+        return tcfg.with_perceptual
+    from unet_bssfp_tpu.models.medicalnet import medicalnet_is_pretrained
+
+    if medicalnet_is_pretrained(tcfg.medicalnet_weights):
+        return True
+    logging.getLogger(__name__).info(
+        "with_perceptual=None (auto) and no converted Med3D weights found: "
+        "training with the L1+BCE objective. The reference's perceptual "
+        "term needs pretrained features — the random-feature fallback at "
+        "perceptual_factor=1e3 is measured to hurt voxel fidelity "
+        "(CONVERGENCE.json). Set with_perceptual=true to force it on."
+    )
+    return False
 
 
 def build_perceptual_fn(config: Config):
@@ -74,7 +101,7 @@ class Trainer:
                 )
             mesh = make_mesh(usable)
         self.mesh = mesh
-        if perceptual_fn is None and config.train.with_perceptual:
+        if perceptual_fn is None and resolve_with_perceptual(config.train):
             perceptual_fn = build_perceptual_fn(config)
         self.perceptual_fn = perceptual_fn
         self.debug = debug
@@ -129,6 +156,7 @@ class Trainer:
         keys = (self.modality, "dwi-tensor")
         epoch_key = jax.random.PRNGKey(cfg.train.seed + 1)
         max_epochs = max_epochs or cfg.train.max_epochs
+        uploaded: set = set()  # checkpoint dirs already pushed to W&B in-run
 
         if self.debug:
             jax.config.update("jax_debug_nans", True)
@@ -174,7 +202,7 @@ class Trainer:
             # WandbLogger(log_model='all'), src/train.py:16-18 — uploads
             # every checkpoint during the run, so a crash loses nothing).
             # Only synchronise the async save when W&B is actually on.
-            if self.logger._wandb is not None:
+            if self.logger.wandb_enabled:
                 self.ckpt.wait()
                 step_dir = os.path.join(self.ckpt.directory, str(epoch))
                 if os.path.isdir(step_dir):
@@ -182,14 +210,18 @@ class Trainer:
                         step_dir, name=f"{self.modality}-ckpt-{epoch}",
                         type="model",
                     )
+                    uploaded.add(str(epoch))
             if self.early_stop.update(row):
                 break
         self.ckpt.wait()
-        # Fallback sweep: push any retained top-k checkpoint not uploaded
-        # in-run (e.g. W&B enabled but an epoch's dir was pruned/renamed).
+        # Fallback sweep: push only retained top-k checkpoints NOT uploaded
+        # in-run (e.g. a dir written by a resume from an earlier run) —
+        # re-uploading every epoch's artifact at run end would be redundant
+        # hashing/API traffic.
         for step_dir in sorted(os.listdir(self.ckpt.directory)):
             full = os.path.join(self.ckpt.directory, step_dir)
-            if step_dir.isdigit() and os.path.isdir(full):
+            if (step_dir.isdigit() and step_dir not in uploaded
+                    and os.path.isdir(full)):
                 self.logger.log_artifact(
                     full, name=f"{self.modality}-ckpt-{step_dir}",
                     type="model",

@@ -251,6 +251,18 @@ def run_multistage(
 
     config = config or Config()
     tcfg = config.train
+    if perceptual_fn is None:
+        # Thesis loss is L1 + (1−SSIM) + perceptual (03-methods.tex:753-796);
+        # same tri-state resolution as Trainer: the term turns on only when
+        # converted Med3D weights resolve (random features at 1e3 weighting
+        # are measured to hurt voxel fidelity — CONVERGENCE.json).
+        from unet_bssfp_tpu.train.loop import (
+            build_perceptual_fn,
+            resolve_with_perceptual,
+        )
+
+        if resolve_with_perceptual(tcfg):
+            perceptual_fn = build_perceptual_fn(config)
     if mesh is None:
         # Regular batches are config.data.batch_size; dim 0 must divide the
         # mesh size (same guard as Trainer.__init__).
