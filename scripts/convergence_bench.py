@@ -46,7 +46,7 @@ def git_rev() -> str:
 
 
 def run(epochs: int, smoke: bool, full_objective: bool = False,
-        linked: bool = False) -> dict:
+        linked: bool = False, samples_per_vol: int = 4) -> dict:
     import jax
 
     from unet_bssfp_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
@@ -96,7 +96,7 @@ def run(epochs: int, smoke: bool, full_objective: bool = False,
             data_dir=bids,
             batch_size=batch,
             patch_size=patch,
-            samples_per_vol=4,
+            samples_per_vol=samples_per_vol,
             volume_shape=vol,
             val_split=0.2,
             test_split=0.2,
@@ -140,6 +140,7 @@ def run(epochs: int, smoke: bool, full_objective: bool = False,
         "smoke": smoke,
         "full_objective": full_objective,
         "linked": linked,
+        "samples_per_vol": samples_per_vol,
         "epochs": len(rows),
         "wall_seconds": round(wall, 1),
         "train_L1_first": round(float(first["train_gen_loss_recon_L1"]), 4),
@@ -164,10 +165,16 @@ def main() -> int:
                          "quality can approach the reference's 30-43 dB "
                          "PSNR regime instead of the unlinked fixture's "
                          "~15 dB smoothness-prior floor")
+    ap.add_argument("--samples-per-vol", type=int, default=4,
+                    help="patches drawn per volume per epoch; the default "
+                         "(4, the round-2 regime) gives only ~4 optimizer "
+                         "steps/epoch on the 12-subject fixture — raise it "
+                         "for quality records that need a real step budget")
     ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
 
-    record = run(args.epochs, args.smoke, args.full_objective, args.linked)
+    record = run(args.epochs, args.smoke, args.full_objective, args.linked,
+                 args.samples_per_vol)
     print(json.dumps(record, indent=2))
 
     history = []
@@ -179,6 +186,7 @@ def main() -> int:
         if r.get("smoke") == args.smoke and r["epochs"] == record["epochs"]
         and r.get("full_objective", False) == args.full_objective
         and r.get("linked", False) == args.linked
+        and r.get("samples_per_vol", 4) == args.samples_per_vol
     ]
     if not args.no_record:
         history.append(record)
