@@ -310,3 +310,20 @@ def test_dryrun_multichip():
     graft = _load_graft_entry()
     graft.dryrun_multichip(8)
     graft.dryrun_multichip(3)
+
+
+def test_log_clean_val(bids_root, tmp_path):
+    """``TrainConfig.log_clean_val`` logs a second, un-augmented val pass as
+    ``val_clean_*`` next to the reference-parity augmented ``val_*`` metrics
+    (the reference augments val too, src/data_module.py:146-147); early stop
+    still keys on the augmented monitor."""
+    cfg = _config(tmp_path, max_epochs=1, log_clean_val=True)
+    data = DoveDataModule(bids_root, config=cfg.data)
+    trainer = Trainer(cfg, "dwi-tensor")
+    trainer.fit(data)
+    trainer.logger.finish()
+    rows = _read_metrics(cfg.train.log_dir)
+    for key in ("val_metric_PSNR", "val_clean_metric_PSNR",
+                "val_clean_gen_loss_recon"):
+        assert key in rows[0], f"missing {key}"
+        assert np.isfinite(float(rows[0][key]))

@@ -187,6 +187,12 @@ class TrainConfig:
     # framework's training policy); set "float32" for strict reference
     # numerics. The FID/eval path always runs float32.
     perceptual_dtype: Optional[str] = None
+    # Log a second, un-augmented validation pass per epoch as
+    # ``val_clean_*`` next to the reference-parity augmented ``val_*``
+    # metrics (the reference augments val inputs too,
+    # src/data_module.py:146-147 — this measures what that convention
+    # costs without changing training or early-stop semantics).
+    log_clean_val: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

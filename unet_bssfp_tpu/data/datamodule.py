@@ -283,11 +283,15 @@ class DoveDataModule:
         key: jax.Array,
         keys: Sequence[str] = ALL_KEYS,
         batch_divisor: int = 1,
+        augment: bool = True,
     ) -> Iterator[Dict[str, jax.Array]]:
         # The reference applies the augmentation chain to val too
-        # (src/data_module.py:146-147).
+        # (src/data_module.py:146-147) — that is the default.
+        # ``augment=False`` serves the clean-val measurement (how many dB
+        # the augmented-val convention costs), logged by the Trainer as
+        # ``val_clean_*`` when ``TrainConfig.log_clean_val`` is set.
         return self._patch_stream(
-            self.val_samples, key, keys, augment=True,
+            self.val_samples, key, keys, augment=augment,
             batch_divisor=batch_divisor,
         )
 

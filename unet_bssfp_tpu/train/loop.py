@@ -193,6 +193,23 @@ class Trainer:
                     state, batch[self.modality], batch["dwi-tensor_orig"]
                 )
                 self.logger.log_step(metrics)
+            if cfg.train.log_clean_val:
+                # Second, un-augmented val pass: same checkpoint, clean
+                # inputs — measures the cost of the reference's
+                # augmented-val convention (logged as val_clean_*; early
+                # stop and checkpoint selection still key on val_*).
+                for batch in data.val_batches(
+                    k_val, keys=keys, batch_divisor=n_dev, augment=False
+                ):
+                    batch = shard_batch(self.mesh, batch)
+                    metrics, _ = self.eval_step(
+                        state, batch[self.modality],
+                        batch["dwi-tensor_orig"],
+                    )
+                    self.logger.log_step({
+                        k.replace("val_", "val_clean_", 1): v
+                        for k, v in metrics.items()
+                    })
             elapsed = (datetime.datetime.now() - epoch_start).total_seconds()
             row = self.logger.end_epoch(
                 epoch, extra={"epoch_seconds": elapsed}
