@@ -1,9 +1,10 @@
 """Same-process A/B: perceptual term with vs without stem-pool lane pairing.
 
-The pairing gate in ``perceptual_distance`` keys on ``jax.default_backend()``
-at trace time; the OFF variant is traced under a mocked backend so both
-variants compile in one process and are timed back-to-back (steal-robust
-two-point intervals). Run on the attached TPU:
+Pairing is NOT auto-enabled anywhere (see the note above ``features`` in
+``models/medicalnet.py``); each arm constructs its own network explicitly —
+``MedicalNetResNet10(pool_pair=2)`` vs the plain ``pool_pair=1`` — so both
+compile in one process and are timed back-to-back (steal-robust two-point
+intervals). Run on the attached TPU:
 
     python scripts/pool_pair_ab.py
 """
@@ -11,7 +12,6 @@ two-point intervals). Run on the attached TPU:
 import os
 import sys
 import time
-from unittest import mock
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -46,7 +46,6 @@ def main():
     from unet_bssfp_tpu.models import medicalnet as mn
 
     print(f"devices: {jax.devices()}", flush=True)
-    net = mn.MedicalNetResNet10(dtype=jnp.bfloat16)
     _, variables = mn.init_medicalnet(seed=0)
 
     B, C = 8, 6
@@ -54,24 +53,20 @@ def main():
     a = jnp.asarray(rng.standard_normal((B, 64, 64, 64, C)), dtype=jnp.float32)
     b = jnp.asarray(rng.standard_normal((B, 64, 64, 64, C)), dtype=jnp.float32)
 
-    def fwd(v, p, t):
-        return mn.perceptual_distance(net, v, p, t)
-
-    def fwdbwd(v, p, t):
-        return jax.grad(lambda pp: mn.perceptual_distance(net, v, pp, t))(p)
-
     results = {}
-    for name, backend in (("paired", None), ("plain", "cpu")):
-        ctx = (
-            mock.patch.object(mn.jax, "default_backend", return_value=backend)
-            if backend
-            else mock.patch.object(
-                mn.jax, "default_backend", wraps=jax.default_backend
-            )
-        )
-        with ctx:
-            cf = jax.jit(fwd).lower(variables, a, b).compile()
-            cg = jax.jit(fwdbwd).lower(variables, a, b).compile()
+    for name, pool_pair in (("paired", 2), ("plain", 1)):
+        net = mn.MedicalNetResNet10(dtype=jnp.bfloat16, pool_pair=pool_pair)
+
+        def fwd(v, p, t, net=net):
+            return mn.perceptual_distance(net, v, p, t)
+
+        def fwdbwd(v, p, t, net=net):
+            return jax.grad(
+                lambda pp: mn.perceptual_distance(net, v, pp, t)
+            )(p)
+
+        cf = jax.jit(fwd).lower(variables, a, b).compile()
+        cg = jax.jit(fwdbwd).lower(variables, a, b).compile()
         tf = two_point(cf, (variables, a, b))
         tg = two_point(cg, (variables, a, b))
         results[name] = (tf, tg, sync(cf(variables, a, b)),

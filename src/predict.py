@@ -51,6 +51,11 @@ def main() -> None:
     args = parser.parse_args()
     if args.checkpoint is None and args.exported is None:
         parser.error("one of --checkpoint / --exported is required")
+    if args.checkpoint is not None and args.exported is not None:
+        parser.error(
+            "--checkpoint and --exported are mutually exclusive — the "
+            "artifact carries its own frozen weights"
+        )
 
     import jax
     import jax.numpy as jnp
@@ -80,9 +85,16 @@ def main() -> None:
                 f"exported artifact was frozen at batch={batch}; this CLI "
                 f"serves one volume at a time — re-export with --batch 1"
             )
-        if args.whole_volume:
-            print("note: --whole-volume is ignored with --exported (the "
+        if args.whole_volume or args.patch:
+            flag = "--whole-volume" if args.whole_volume else "--patch"
+            print(f"note: {flag} is ignored with --exported (the "
                   "artifact's frozen input shape decides)")
+        if exported_meta.get("modality", args.modality) != args.modality:
+            parser.error(
+                f"exported artifact was frozen for modality "
+                f"{exported_meta['modality']!r}, but --modality is "
+                f"{args.modality!r}"
+            )
     elif args.config:
         with open(args.config) as f:
             config = Config.from_json(f.read())
@@ -93,6 +105,18 @@ def main() -> None:
         target_shape = tuple(config.data.volume_shape)
 
     data, affine = load_volume(args.input)
+    if exported_call is not None:
+        # Channel-count mismatches would otherwise surface as an opaque
+        # shape error deep inside jax.export — fail with the artifact's
+        # modality instead (ADVICE r3).
+        want_c = int(exported_meta["input_shape"][4])
+        have_c = data.shape[3] if data.ndim == 4 else 1
+        if have_c != want_c:
+            parser.error(
+                f"input has {have_c} channel(s) but the exported artifact "
+                f"(modality {exported_meta.get('modality')!r}) was frozen "
+                f"for {want_c}-channel input"
+            )
     if exported_call is not None and any(
         data.shape[i] > target_shape[i] for i in range(3)
     ):

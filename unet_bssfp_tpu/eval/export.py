@@ -105,8 +105,17 @@ def load_exported(path: str):
             raise ValueError(
                 f"{path}: not a unet_bssfp_tpu export (magic {magic!r})"
             )
-        (hlen,) = struct.unpack("<I", f.read(4))
-        meta = json.loads(f.read(hlen).decode("utf-8"))
+        raw_len = f.read(4)
+        if len(raw_len) != 4:
+            raise ValueError(f"{path}: truncated export (missing header length)")
+        (hlen,) = struct.unpack("<I", raw_len)
+        raw_header = f.read(hlen)
+        if len(raw_header) != hlen:
+            raise ValueError(
+                f"{path}: truncated export (header {len(raw_header)}/{hlen} "
+                "bytes)"
+            )
+        meta = json.loads(raw_header.decode("utf-8"))
         payload = f.read()
     exported = jexport.deserialize(bytearray(payload))
     call = jax.jit(exported.call)

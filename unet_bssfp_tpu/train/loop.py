@@ -41,7 +41,10 @@ def resolve_with_perceptual(tcfg) -> bool:
 
     if medicalnet_is_pretrained(tcfg.medicalnet_weights):
         return True
-    logging.getLogger(__name__).info(
+    # warning (not info) so the objective switch is visible at the default
+    # log config (ADVICE r3): users coming from the reference expect the
+    # perceptual term on.
+    logging.getLogger(__name__).warning(
         "with_perceptual=None (auto) and no converted Med3D weights found: "
         "training with the L1+BCE objective. The reference's perceptual "
         "term needs pretrained features — the random-feature fallback at "
