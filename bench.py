@@ -49,9 +49,36 @@ IN_CH = 24
 OUT_CH = 6
 SAMPLES_PER_VOL = 8
 
+# Median wall time of the host_spin workload on this host when quiet
+# (measured 2026-08-19, single-core VM; min-of-9 with no other foreground
+# jobs). The bench emits the live measurement next to this constant so
+# cross-session ms deltas come with a noise floor: under hypervisor CPU
+# steal the same workload has measured 100x slower (BENCH_NOTES_r3).
+CLEAN_HOST_SPIN_MS = 240.0
+
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+def measure_host_spin(reps: int = 5) -> float:
+    """Calibrated host-CPU probe: median of ``reps`` runs of a fixed numpy
+    workload (elementwise chain — no BLAS threading variance). The MEDIAN is
+    deliberate: unlike the min-of-intervals device timers, this number should
+    REFLECT current steal, not hide it."""
+    import numpy as np
+
+    a = np.random.default_rng(0).random(2_000_000)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        b = a
+        for _ in range(20):
+            b = np.sqrt(b * 1.000001 + 0.5)
+        times.append(time.perf_counter() - t0)
+        _ = float(b[0])
+    times.sort()
+    return times[len(times) // 2] * 1e3
 
 
 def sync(tree):
@@ -227,6 +254,7 @@ def measure_jax_train(steps: int = 20, warmup: int = 3,
     # Single-volume inference latency (whole-volume fast path, 96x128x128),
     # same two-point scheme. Skipped when readback is pathologically slow.
     inf_latency = float("nan")
+    exported_ms = None
     if not slow_sync:
         predict = make_predict_fn(gen)
         vol = jnp.asarray(
@@ -236,6 +264,33 @@ def measure_jax_train(steps: int = 20, warmup: int = 3,
         sync(out)
         inf_latency = two_point(lambda: predict(s, vol), 10, 1)
         log(f"single-volume inference latency: {inf_latency*1e3:.1f} ms")
+
+        # The frozen StableHLO serving artifact (eval/export.py), same
+        # volume: save → load → run, so the bench answers whether the
+        # export path costs anything over the live model (VERDICT r3 #8).
+        try:
+            import tempfile
+
+            from unet_bssfp_tpu.eval.export import (
+                export_generator,
+                load_exported,
+                save_exported,
+            )
+
+            exported, meta = export_generator(
+                "pc-bssfp", mcfg, s, (1, 96, 128, 128, IN_CH),
+                platforms=None,  # current backend's lowering platform
+            )
+            path = os.path.join(tempfile.gettempdir(), "bench_export.ubxp")
+            save_exported(exported, meta, path)
+            call, _ = load_exported(path)
+            out = call(vol)
+            sync(out)
+            exported_ms = two_point(lambda: call(vol), 10, 1) * 1e3
+            log(f"exported-artifact inference latency: {exported_ms:.1f} ms "
+                f"({exported_ms/(inf_latency*1e3):.2f}x live)")
+        except Exception as e:  # diagnostics must not sink the headline
+            log(f"exported-inference bench failed: {e}")
     else:
         log("slow readback: skipping inference-latency measurement")
 
@@ -244,6 +299,7 @@ def measure_jax_train(steps: int = 20, warmup: int = 3,
         "volumes_per_sec": patches_per_sec / SAMPLES_PER_VOL,
         "ms_per_step": ms_per_step,
         "inference_latency_s": inf_latency,
+        "exported_inference_ms": exported_ms,
         "slow_sync": slow_sync,
         "device_kind": device_kind,
         "tflops_per_sec": tflops,
@@ -499,6 +555,14 @@ def main():
     args = parser.parse_args()
 
     _watchdog(args.watchdog)
+    spin_ms = measure_host_spin()
+    steal = spin_ms / CLEAN_HOST_SPIN_MS
+    log(f"host spin: {spin_ms:.1f} ms (clean {CLEAN_HOST_SPIN_MS:.0f} ms, "
+        f"{steal:.2f}x)")
+    if steal > 1.5:
+        log(f"WARNING: host CPU running {steal:.1f}x slower than the clean "
+            "calibration — hypervisor steal is active; treat absolute ms "
+            "in this session as inflated (BENCH_NOTES_r3 caveat)")
     jax_result = measure_jax_train(steps=args.steps,
                                    with_variants=not args.no_aux)
     if not args.no_aux and not jax_result.get("slow_sync"):
@@ -535,6 +599,14 @@ def main():
                 "full_objective_pct_of_peak": rnd(
                     jax_result["full_objective_pct_of_peak"]
                 ),
+                # serving artifact (load + run on the chip)
+                "exported_inference_ms": rnd(
+                    jax_result["exported_inference_ms"]
+                ),
+                # steal indicator: live host-spin vs quiet-host calibration —
+                # >1.5x means absolute ms this session read high
+                "host_spin_ms": round(spin_ms, 1),
+                "host_spin_clean_ms": CLEAN_HOST_SPIN_MS,
                 "device_kind": jax_result["device_kind"],
             }
         )

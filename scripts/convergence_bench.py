@@ -15,6 +15,8 @@ not absolute parity.
 
 Usage (real chip, ~10 min incl. compile):
     python scripts/convergence_bench.py --epochs 4
+Regression guard (real chip, ~35 min — the pinned CANONICAL regime):
+    python scripts/convergence_bench.py --check
 CPU smoke (tiny volumes):
     UNET_BSSFP_PLATFORM=cpu python scripts/convergence_bench.py \
         --epochs 2 --smoke
@@ -33,6 +35,23 @@ import tempfile
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 RECORD_PATH = os.path.join(REPO, "CONVERGENCE.json")
+
+# The canonical regression-guard regime (round-4 VERDICT #4): one pinned
+# fast configuration with an expected band, instead of the append-only log's
+# mixed regimes. ``--check`` runs exactly this and FAILS (exit 1) when the
+# fresh run lands outside expected_psnr ± band_db — in either direction:
+# too low is a training regression, too high means the regime itself
+# changed and the band must be re-baselined deliberately.
+CANONICAL = {
+    "linked": True,
+    "epochs": 12,
+    "samples_per_vol": 4,
+    "smoke": False,
+    "full_objective": False,
+    # CONVERGENCE.json 2026-08-18T16:04 (git c671be5): val PSNR 15.46 dB.
+    "expected_psnr": 15.46,
+    "band_db": 1.25,
+}
 
 
 def git_rev() -> str:
@@ -171,7 +190,18 @@ def main() -> int:
                          "steps/epoch on the 12-subject fixture — raise it "
                          "for quality records that need a real step budget")
     ap.add_argument("--no-record", action="store_true")
+    ap.add_argument("--check", action="store_true",
+                    help="regression guard: run the pinned CANONICAL regime "
+                         "and fail unless final val PSNR lands inside "
+                         "expected_psnr ± band_db (both directions)")
     args = ap.parse_args()
+
+    if args.check:
+        args.epochs = CANONICAL["epochs"]
+        args.smoke = CANONICAL["smoke"]
+        args.full_objective = CANONICAL["full_objective"]
+        args.linked = CANONICAL["linked"]
+        args.samples_per_vol = CANONICAL["samples_per_vol"]
 
     record = run(args.epochs, args.smoke, args.full_objective, args.linked,
                  args.samples_per_vol)
@@ -189,10 +219,23 @@ def main() -> int:
         and r.get("samples_per_vol", 4) == args.samples_per_vol
     ]
     if not args.no_record:
+        if args.check:
+            record["canonical_check"] = True
         history.append(record)
         with open(RECORD_PATH, "w") as f:
             json.dump(history, f, indent=2)
         print(f"recorded to {RECORD_PATH} ({len(history)} records)")
+    if args.check:
+        lo = CANONICAL["expected_psnr"] - CANONICAL["band_db"]
+        hi = CANONICAL["expected_psnr"] + CANONICAL["band_db"]
+        got = record["val_psnr_last"]
+        if not (lo <= got <= hi):
+            print(f"CANONICAL CHECK FAILED: val PSNR {got} dB outside "
+                  f"[{lo:.2f}, {hi:.2f}] (expected "
+                  f"{CANONICAL['expected_psnr']} ± {CANONICAL['band_db']})")
+            return 1
+        print(f"canonical check ok: {got} dB in [{lo:.2f}, {hi:.2f}]")
+        return 0
     if prior:
         best = max(r["val_psnr_last"] for r in prior)
         if record["val_psnr_last"] < best - args.tolerance:

@@ -39,7 +39,7 @@ def export_generator(
     input_shape: Sequence[int],
     *,
     in_dtype: str = "float32",
-    platforms: Sequence[str] = ("cpu", "tpu"),
+    platforms: Optional[Sequence[str]] = ("cpu", "tpu"),
     extra_meta: Optional[dict] = None,
 ) -> Tuple[jexport.Exported, dict]:
     """Freeze the eval-mode generator at ``input_shape`` = (B, D, H, W, C).
@@ -65,7 +65,15 @@ def export_generator(
     def serve(x):
         return gen.apply(variables, x, train=False).astype(jnp.float32)
     spec = jax.ShapeDtypeStruct(tuple(input_shape), jnp.dtype(in_dtype))
-    exported = jexport.export(jax.jit(serve), platforms=list(platforms))(spec)
+    # platforms=None: lower for the current default backend only (needed on
+    # backends whose lowering platform isn't in the portable cpu/tpu pair,
+    # e.g. the tunneled axon plugin).
+    exported = jexport.export(
+        jax.jit(serve),
+        **({} if platforms is None else {"platforms": list(platforms)}),
+    )(spec)
+    if platforms is None:
+        platforms = list(exported.platforms)
     meta = {
         "format": "unet_bssfp_tpu.export",
         "version": 1,
