@@ -156,3 +156,43 @@ def test_multi_input_unet_and_stages():
     assert all(jax.tree_util.tree_leaves(mask_ft))
     assert stage_lr(TrainingState.FINE_TUNE, 1e-3, 1e-5) == 1e-5
     assert stage_lr(TrainingState.PRETRAIN, 1e-3, 1e-5) == 1e-3
+
+
+def test_unet_wpack_mid_param_compatible():
+    """wpack_mid (w-packed mid-stage conv GEMMs, ops.packed_conv) is exact
+    and checkpoint-compatible: the same param tree drives both variants to
+    the same output (up to float reorder), and grads match."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((1, 16, 16, 16, 24)).astype(np.float32))
+    plain = BasicUNet3D(features=SMALL_FEATURES, dtype=jnp.float32)
+    wpack = BasicUNet3D(
+        features=SMALL_FEATURES, dtype=jnp.float32, wpack_mid=True
+    )
+    variables = _init(plain, x)
+    ya = plain.apply(variables, x, train=False)
+    yb = wpack.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(ya), np.asarray(yb), atol=2e-5, rtol=1e-4
+    )
+
+    def loss(net, v):
+        return jnp.sum(net.apply(v, x, train=False) ** 2)
+
+    ga = jax.grad(lambda v: loss(plain, v))(variables)
+    gb = jax.grad(lambda v: loss(wpack, v))(variables)
+    import flax
+
+    fa = flax.traverse_util.flatten_dict(ga["params"])
+    fb = flax.traverse_util.flatten_dict(gb["params"])
+    for k in fa:
+        pa, pb = np.asarray(fa[k]), np.asarray(fb[k])
+        if k[-2:] == ("conv", "bias"):
+            # A conv bias followed by InstanceNorm has analytically-zero
+            # gradient (the norm subtracts the mean); what remains is pure
+            # cancellation noise, different per summation order.
+            assert np.abs(pa).max() < 5e-3 and np.abs(pb).max() < 5e-3, k
+            continue
+        np.testing.assert_allclose(
+            pa, pb, atol=2e-3 * max(np.abs(pa).max(), 1e-3), rtol=5e-3,
+            err_msg="/".join(k),
+        )

@@ -120,6 +120,12 @@ class ModelConfig:
     # conv3x3_packed_halo); per-conv shape gates fall back to folded/XLA
     # inside the wrapper when an axis does not divide.
     packed: Optional[bool] = None
+    # w-packed conv GEMMs (ops.packed_conv) for the generator's
+    # mid-resolution stages down_1/upcat_2 (32³/Cout-64: pack=2 fills all
+    # 128 MXU lanes). Exact numerics, checkpoint-compatible param paths.
+    # Default off: the in-step A/B (scripts/wpack_ab.py, BENCH_NOTES_r4)
+    # decides whether it gates in.
+    wpack_mid: bool = False
     # Shifted space-to-depth formulation for the discriminator's k4s2
     # convs (ops.folded.conv_k4s2_folded): same FLOPs, 8× the MXU reduction
     # lanes at small Cin. MEASURED SLOWER on v5e (scripts/disc_conv_probe

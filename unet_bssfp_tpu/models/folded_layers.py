@@ -53,12 +53,13 @@ class PooledConvs(nn.Module):
     dtype: Optional[Dtype] = None
     use_fused: bool = True
     prelu: bool = False
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         return TwoConv(
             self.features, self.dropout, self.negative_slope, self.dtype,
-            self.use_fused, self.prelu, name="convs",
+            self.use_fused, self.prelu, wpack=self.wpack, name="convs",
         )(x, train)
 
 

@@ -42,6 +42,8 @@ class Generator(nn.Module):
     # Pallas spatial-lane conv kernel for the full-res stages — see
     # models.unet (takes precedence over ``folded``).
     packed: bool = False
+    # w-packed conv GEMMs for the mid-res stages — see models.unet.
+    wpack_mid: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -68,5 +70,6 @@ class Generator(nn.Module):
             use_fused=self.use_fused,
             folded=self.folded,
             packed=self.packed,
+            wpack_mid=self.wpack_mid,
             name="unet",
         )(x, train)

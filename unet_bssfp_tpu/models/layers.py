@@ -168,16 +168,28 @@ class ConvNormAct(nn.Module):
     dtype: Optional[Dtype] = None
     use_fused: bool = True
     prelu: bool = False
+    # w-packed conv GEMM (ops.packed_conv): pack adjacent output w-positions
+    # into MXU lanes at small-Cout stages. Param-compatible with nn.Conv
+    # (same "conv/kernel|bias" paths); falls back to the plain conv when the
+    # static shape gives pack=1.
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
-        x = nn.Conv(
-            self.features,
-            kernel_size=(3, 3, 3),
-            padding=1,
-            dtype=self.dtype,
-            name="conv",
-        )(x)
+        if self.wpack:
+            from unet_bssfp_tpu.ops.packed_conv import PackedConv3x3
+
+            x = PackedConv3x3(
+                self.features, dtype=self.dtype, name="conv"
+            )(x)
+        else:
+            x = nn.Conv(
+                self.features,
+                kernel_size=(3, 3, 3),
+                padding=1,
+                dtype=self.dtype,
+                name="conv",
+            )(x)
         dropout_active = self.dropout > 0.0 and train
         if self.use_fused and not self.prelu:
             x = InstanceNorm(
@@ -210,16 +222,17 @@ class TwoConv(nn.Module):
     dtype: Optional[Dtype] = None
     use_fused: bool = True
     prelu: bool = False
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         x = ConvNormAct(
             self.features, self.dropout, self.negative_slope, self.dtype,
-            self.use_fused, self.prelu, name="conv_0",
+            self.use_fused, self.prelu, wpack=self.wpack, name="conv_0",
         )(x, train)
         x = ConvNormAct(
             self.features, self.dropout, self.negative_slope, self.dtype,
-            self.use_fused, self.prelu, name="conv_1",
+            self.use_fused, self.prelu, wpack=self.wpack, name="conv_1",
         )(x, train)
         return x
 
@@ -233,13 +246,14 @@ class Down(nn.Module):
     dtype: Optional[Dtype] = None
     use_fused: bool = True
     prelu: bool = False
+    wpack: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         x = nn.max_pool(x, window_shape=(2, 2, 2), strides=(2, 2, 2))
         return TwoConv(
             self.features, self.dropout, self.negative_slope, self.dtype,
-            self.use_fused, self.prelu, name="convs",
+            self.use_fused, self.prelu, wpack=self.wpack, name="convs",
         )(x, train)
 
 
@@ -258,6 +272,7 @@ class UpCat(nn.Module):
     dtype: Optional[Dtype] = None
     use_fused: bool = True
     prelu: bool = False
+    wpack: bool = False
 
     @nn.compact
     def __call__(
@@ -281,5 +296,5 @@ class UpCat(nn.Module):
         x = jnp.concatenate([skip, x], axis=-1)
         return TwoConv(
             self.features, self.dropout, self.negative_slope, self.dtype,
-            self.use_fused, self.prelu, name="convs",
+            self.use_fused, self.prelu, wpack=self.wpack, name="convs",
         )(x, train)

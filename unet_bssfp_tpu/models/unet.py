@@ -71,6 +71,11 @@ class BasicUNet3D(nn.Module):
     # Identical param paths (incl. learnable PReLU slopes); takes
     # precedence over ``folded``. Auto-falls back on unsupported shapes.
     packed: bool = False
+    # w-packed conv GEMMs (ops.packed_conv) for the mid-resolution stages
+    # down_1/upcat_2 (32³, Cout 64: pack=2 fills all 128 MXU lanes vs 64).
+    # Exact numerics, param-compatible. Default off pending the in-step A/B
+    # (scripts/wpack_ab.py; BENCH_NOTES_r4).
+    wpack_mid: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -113,7 +118,7 @@ class BasicUNet3D(nn.Module):
             x0p = packed_max_pool2(xk0, wdim + g0, g0)
             x1 = p_convs(f[1], self.dropout, self.negative_slope,
                          self.dtype, self.use_fused, self.prelu,
-                         name="down_1")(x0p, train)
+                         wpack=self.wpack_mid, name="down_1")(x0p, train)
         elif folded:
             from unet_bssfp_tpu.models.folded_layers import (
                 FoldedTwoConv,
@@ -138,13 +143,14 @@ class BasicUNet3D(nn.Module):
             x0p = folded_max_pool2(xf0, h, w, 0 - 2)
             x1 = p_convs(f[1], self.dropout, self.negative_slope,
                          self.dtype, self.use_fused, self.prelu,
-                         name="down_1")(x0p, train)
+                         wpack=self.wpack_mid, name="down_1")(x0p, train)
         else:
             x0 = two_conv(f[0], self.dropout, self.negative_slope,
                           self.dtype, self.use_fused, self.prelu,
                           name="conv_0")(x, train)
             x1 = down(f[1], self.dropout, self.negative_slope, self.dtype,
-                      self.use_fused, self.prelu, name="down_1")(x0, train)
+                      self.use_fused, self.prelu, wpack=self.wpack_mid,
+                      name="down_1")(x0, train)
         x2 = down(f[2], self.dropout, self.negative_slope, self.dtype,
                   self.use_fused, self.prelu, name="down_2")(x1, train)
         x3 = down(f[3], self.dropout, self.negative_slope, self.dtype,
@@ -157,7 +163,8 @@ class BasicUNet3D(nn.Module):
         u3 = upcat(f[2], f[3] // 2, self.dropout, self.negative_slope,
                    self.dtype, self.use_fused, self.prelu, name="upcat_3")(u4, x2, train)
         u2 = upcat(f[1], f[2] // 2, self.dropout, self.negative_slope,
-                   self.dtype, self.use_fused, self.prelu, name="upcat_2")(u3, x1, train)
+                   self.dtype, self.use_fused, self.prelu,
+                   wpack=self.wpack_mid, name="upcat_2")(u3, x1, train)
         if packed:
             from unet_bssfp_tpu.models.packed_layers import PackedFinalConv
             from unet_bssfp_tpu.ops.pallas.conv3d import unpack_hw_auto

@@ -91,6 +91,7 @@ def build_models(modality: str, mcfg: ModelConfig, mesh=None):
         use_fused=mcfg.use_pallas,
         folded=folded,
         packed=packed,
+        wpack_mid=mcfg.wpack_mid,
     )
     # auto = False: measured 0.34–0.65× fwd+bwd vs XLA's plain k4s2 at the
     # dominant disc stages on v5e (scripts/disc_conv_probe.py, round 3).
