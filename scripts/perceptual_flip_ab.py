@@ -1,0 +1,221 @@
+#!/usr/bin/env python3
+"""Pre-validate the perceptual flip (round-4 VERDICT item 7).
+
+When real Med3D weights appear, ``with_perceptual=None`` (auto) flips the
+1e3-weighted perceptual term ON with zero convergence evidence behind it —
+the only prior full-objective record used the in-package random features and
+cost −2.6 dB (CONVERGENCE.json). This script:
+
+1. builds a CONVERTED Med3D checkpoint through the real conversion path
+   (synthetic torch state dict in the exact Med3D layout → torch.save →
+   ``tools/convert_medicalnet.py`` with its fingerprint check → ``.npz``),
+   so ``medicalnet_is_pretrained`` returns True and the auto-flip engages
+   exactly as it will with the published file;
+2. trains three arms in ONE process on the linked fixture, same budget:
+   a. baseline         — L1+BCE (the benched objective),
+   b. full @ 1e3       — the reference's perceptual_factor,
+   c. full @ --low-factor (default 10),
+   and appends all three to ``CONVERGENCE.json`` with ``perceptual_factor``
+   and ``medicalnet: synthetic-converted`` keys.
+
+The converted weights are still *featurally* random (no egress to fetch the
+published file) — the arm (b) outcome measures how the flip behaves in the
+worst case, and (c) whether a softer factor keeps the full objective from
+hurting voxel fidelity. Reference: ``/root/reference/src/model.py:146``.
+
+Usage (real chip, ~1h):
+    python scripts/perceptual_flip_ab.py --epochs 8
+CPU smoke:
+    UNET_BSSFP_PLATFORM=cpu python scripts/perceptual_flip_ab.py --smoke \
+        --epochs 1 --samples-per-vol 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+RECORD_PATH = os.path.join(REPO, "CONVERGENCE.json")
+
+
+def git_rev() -> str:
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+    except Exception:
+        return "unknown"
+
+
+def make_converted_weights(workdir: str) -> str:
+    """Synthetic Med3D state dict → real converter → .npz (the golden
+    fixture path of tests/test_medicalnet.py, shipped end-to-end)."""
+    import torch
+
+    sys.path.insert(0, os.path.join(REPO, "tests"))
+    from test_medicalnet import _synthetic_med3d_state_dict
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    import convert_medicalnet
+
+    sd = _synthetic_med3d_state_dict(torch, seed=7)
+    pth = os.path.join(workdir, "med3d_synth.pth")
+    torch.save({"state_dict": {k: torch.as_tensor(v)
+                               for k, v in sd.items()}}, pth)
+    npz = os.path.join(workdir, "med3d_synth.npz")
+    convert_medicalnet.convert(pth, npz)
+    return npz
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--epochs", type=int, default=8)
+    ap.add_argument("--samples-per-vol", type=int, default=32)
+    ap.add_argument("--low-factor", type=float, default=10.0)
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--no-record", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    from unet_bssfp_tpu.config import (
+        Config, DataConfig, ModelConfig, TrainConfig,
+    )
+    from unet_bssfp_tpu.data.datamodule import DoveDataModule
+    from unet_bssfp_tpu.data.synthetic import make_synthetic_bids
+    from unet_bssfp_tpu.models.medicalnet import medicalnet_is_pretrained
+    from unet_bssfp_tpu.train.loop import Trainer, resolve_with_perceptual
+
+    workdir = tempfile.mkdtemp(prefix="percflip_")
+    npz = make_converted_weights(workdir)
+    assert medicalnet_is_pretrained(npz), npz
+    print(f"converted synthetic Med3D -> {npz}")
+
+    subjects = 6 if args.smoke else 12
+    vol = (24, 32, 32) if args.smoke else (96, 128, 128)
+    cache = os.environ.get(
+        "CONVBENCH_DATA",
+        os.path.join(
+            tempfile.gettempdir(),
+            f"convbench_data_{'smoke' if args.smoke else 'full'}"
+            f"_s{subjects}_linked",
+        ),
+    )
+    marker = os.path.join(cache, ".complete")
+    if os.path.exists(marker):
+        bids = os.path.join(cache, "bids")
+    else:
+        bids = make_synthetic_bids(
+            os.path.join(cache, "bids"),
+            subjects=tuple(f"{i:02d}" for i in range(1, subjects + 1)),
+            sessions=("1",), volume_shape=vol, seed=0, linked=True,
+        )
+        with open(marker, "w") as f:
+            f.write("ok\n")
+
+    if args.smoke:
+        patch, batch = 16, 4
+        features = (4, 8, 8, 16, 16, 4)
+        disc_features = (8, 8, 16)
+        dtype = "float32"
+    else:
+        patch, batch = 64, 8
+        features = (32, 64, 128, 256, 512, 32)
+        disc_features = (32, 64, 128, 256, 512)
+        dtype = "bfloat16"
+
+    arms = [
+        ("baseline_L1_BCE", dict(with_perceptual=False)),
+        ("full_1e3", dict(with_perceptual=None, medicalnet_weights=npz,
+                          perceptual_factor=1e3)),
+        (f"full_{args.low_factor:g}",
+         dict(with_perceptual=None, medicalnet_weights=npz,
+              perceptual_factor=args.low_factor)),
+    ]
+    entries = []
+    for name, tkw in arms:
+        cfg = Config(
+            data=DataConfig(
+                data_dir=bids, batch_size=batch, patch_size=patch,
+                samples_per_vol=args.samples_per_vol, volume_shape=vol,
+                val_split=0.2, test_split=0.2, cache_volumes=True,
+            ),
+            model=ModelConfig(
+                features=features, disc_features=disc_features,
+                compute_dtype=dtype,
+            ),
+            train=TrainConfig(
+                log_dir=os.path.join(workdir, "logs", name),
+                checkpoint_dir=os.path.join(workdir, "ckpts", name),
+                max_epochs=args.epochs, seed=42, **tkw,
+            ),
+        )
+        # The flip under test: auto must resolve ON for the converted file.
+        resolved = resolve_with_perceptual(cfg.train)
+        if tkw.get("with_perceptual", False) is None:
+            assert resolved, "auto flip did not engage for converted weights"
+        data = DoveDataModule(bids, config=cfg.data)
+        trainer = Trainer(cfg, "pc-bssfp")
+        t0 = datetime.datetime.now()
+        trainer.fit(data, max_epochs=args.epochs)
+        wall = (datetime.datetime.now() - t0).total_seconds()
+        trainer.logger.finish()
+
+        import csv
+
+        runs = sorted(os.listdir(cfg.train.log_dir))
+        with open(os.path.join(cfg.train.log_dir, runs[-1],
+                               "metrics.csv")) as f:
+            rows = list(csv.DictReader(f))
+        last = rows[-1]
+        entry = {
+            "date": datetime.datetime.now().isoformat(timespec="seconds"),
+            "git": git_rev(),
+            "device": jax.devices()[0].device_kind,
+            "smoke": args.smoke,
+            "linked": True,
+            "samples_per_vol": args.samples_per_vol,
+            "epochs": len(rows),
+            "arm": name,
+            "full_objective": resolved,
+            "perceptual_factor": (
+                cfg.train.perceptual_factor if resolved else None
+            ),
+            "medicalnet": "synthetic-converted" if resolved else None,
+            "wall_seconds": round(wall, 1),
+            "train_L1_last": round(
+                float(last["train_gen_loss_recon_L1"]), 4),
+            "val_psnr_last": round(float(last["val_metric_PSNR"]), 3),
+            "val_ssim_last": round(float(last["val_metric_SSIM"]), 4),
+        }
+        entries.append(entry)
+        print(json.dumps(entry, indent=2), flush=True)
+
+    base = entries[0]["val_psnr_last"]
+    for e in entries[1:]:
+        print(f"{e['arm']}: {e['val_psnr_last'] - base:+.2f} dB vs baseline",
+              flush=True)
+
+    if not args.no_record:
+        history = []
+        if os.path.exists(RECORD_PATH):
+            with open(RECORD_PATH) as f:
+                history = json.load(f)
+        history += entries
+        with open(RECORD_PATH, "w") as f:
+            json.dump(history, f, indent=2)
+        print(f"recorded to {RECORD_PATH} ({len(history)} records)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
