@@ -184,13 +184,24 @@ def test_unet_wpack_mid_param_compatible():
 
     fa = flax.traverse_util.flatten_dict(ga["params"])
     fb = flax.traverse_util.flatten_dict(gb["params"])
+    # Scale for the cancellation-noise bound below: the largest real
+    # (kernel) gradient magnitude in the tree.
+    grad_scale = max(
+        np.abs(np.asarray(v)).max()
+        for k, v in fa.items() if k[-2:] != ("conv", "bias")
+    )
     for k in fa:
         pa, pb = np.asarray(fa[k]), np.asarray(fb[k])
         if k[-2:] == ("conv", "bias"):
             # A conv bias followed by InstanceNorm has analytically-zero
             # gradient (the norm subtracts the mean); what remains is pure
-            # cancellation noise, different per summation order.
-            assert np.abs(pa).max() < 5e-3 and np.abs(pb).max() < 5e-3, k
+            # cancellation noise whose magnitude depends on XLA's summation
+            # order — which varies with fusion choices across test-session
+            # compilation states. Bound it relative to the real gradients,
+            # not absolutely.
+            bound = 1e-3 * grad_scale
+            assert np.abs(pa).max() < bound and np.abs(pb).max() < bound, (
+                k, np.abs(pa).max(), np.abs(pb).max(), bound)
             continue
         np.testing.assert_allclose(
             pa, pb, atol=2e-3 * max(np.abs(pa).max(), 1e-3), rtol=5e-3,
