@@ -259,7 +259,10 @@ def judged_artifact(args, cfg, data, best_ckpt, quality_dir):
         "git": git_rev(),
         "checkpoint": best_ckpt,
         "modality": args.modality,
-        "task": "linked synthetic fixture (12 subjects, pc-bssfp -> DT)",
+        "smoke": bool(args.smoke),
+        "task": ("linked synthetic fixture "
+                 f"({6 if args.smoke else 12} subjects, "
+                 f"{args.modality} -> DT)"),
         "space": "fixture-native (identity denorm; see quality_record.py)",
         "test_metrics": {
             k: round(float(v), 4) for k, v in test_metrics.items()
