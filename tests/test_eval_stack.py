@@ -173,3 +173,34 @@ def test_print_info_and_sample_montage(dm, tmp_path, capsys):
     fig.savefig(out_png)
     plt.close(fig)
     assert os.path.getsize(out_png) > 0
+
+
+def test_scalar_and_diff_map_paths_are_basename_scoped(tmp_path):
+    """A directory whose NAME contains the deriv substring (e.g. the
+    quality-record's preds_denorm/ workdir) must not be rewritten when the
+    per-file suffix is: regression for the round-4 FileNotFoundError where
+    preds_denorm/ became preds_fa/."""
+    from unet_bssfp_tpu.data.nifti import save_volume
+
+    pred_dir = tmp_path / "preds_denorm" / "pred-mods"
+    pred_dir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    vol = rng.random((8, 8, 8, 6)).astype(np.float32)
+    for kind in ("pred", "target"):
+        save_volume(
+            str(pred_dir / f"{kind}-0_mod-pc-bssfp_sub-01_ses-1_denorm.nii.gz"),
+            vol, np.eye(4),
+        )
+
+    maps = calc_scalar_maps(str(pred_dir), num_workers=2)
+    assert maps
+    for p in maps:
+        assert os.path.exists(p)
+        assert "preds_denorm" in p and "preds_fa" not in p
+
+    diffs = calc_diff_maps(str(pred_dir), num_workers=2)
+    assert diffs
+    for p in diffs:
+        assert os.path.exists(p)
+        assert os.path.basename(p).startswith("diff-")
+        assert "preds_denorm" in p

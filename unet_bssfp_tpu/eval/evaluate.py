@@ -132,12 +132,17 @@ def calc_scalar_maps(
         data, affine = load_volume(path)
         maps = compute_scalar_maps(jnp.asarray(data))
         out_paths = []
+        dirname, base = os.path.split(path)
         for name in ("fa", "md", "ad", "rd", "azimuth", "inclination", "rgb"):
             arr = np.asarray(getattr(maps, name))
+            # Rewrite the BASENAME only: a directory component may share the
+            # deriv substring (e.g. a preds_denorm/ workdir) and must not be
+            # rewritten with it.
             if source_deriv:
-                out_path = path.replace(f"_{source_deriv}", f"_{name}")
+                out_base = base.replace(f"_{source_deriv}", f"_{name}")
             else:
-                out_path = path.replace(".nii", f"_{name}.nii", 1)
+                out_base = base.replace(".nii", f"_{name}.nii", 1)
+            out_path = os.path.join(dirname, out_base)
             save_volume(out_path, arr, affine)
             out_paths.append(out_path)
         return out_paths
@@ -182,7 +187,10 @@ def calc_diff_maps(directory: str, num_workers: int = 8) -> List[str]:
             diff = ang_fn(jnp.asarray(pred), jnp.asarray(target))
         else:
             diff = rel_fn(jnp.asarray(pred), jnp.asarray(target))
-        out_path = pred_path.replace("pred-", "diff-")
+        # Basename-scoped rewrite (a directory named e.g. pred-runs/ must
+        # survive).
+        pdir, pbase = os.path.split(pred_path)
+        out_path = os.path.join(pdir, pbase.replace("pred-", "diff-", 1))
         save_volume(out_path, np.asarray(diff), affine)
         return out_path
 
