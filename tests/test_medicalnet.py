@@ -389,6 +389,9 @@ def test_perceptual_distance_grad_flows_pred_only(net_vars, rng):
 
 
 
+@pytest.mark.slow  # 64 s solo — the single largest fast-tier cost (r4 §9
+# re-tier); pool pairing is an opt-in optimization, its cheap smoke coverage
+# stays in test_perceptual_distance_chunked_matches.
 def test_pool_pair_exact_forward_and_grad(net_vars, rng):
     # Lane-paired stem pool (pool_pair=k) must be bitwise-identical to the
     # plain pool through the whole net, including gradients (the pairing is
