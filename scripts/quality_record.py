@@ -229,9 +229,20 @@ def judged_artifact(args, cfg, data, best_ckpt, quality_dir):
 
     pred_base = os.path.join(args.workdir, "preds")
     pred_dir = os.path.join(pred_base, args.modality)
-    test_metrics = eval_model(
-        data, best_ckpt, args.modality, pred_dir, config=cfg
-    )
+    if args.skip_eval:
+        # Reuse a crashed chain's eval_model output (predictions + its
+        # test_metrics.csv) instead of re-running device inference.
+        import csv
+
+        with open(os.path.join(pred_dir, "test_metrics.csv")) as fh:
+            row = next(csv.DictReader(fh))
+        test_metrics = {
+            k: float(v) for k, v in row.items() if k != "modality"
+        }
+    else:
+        test_metrics = eval_model(
+            data, best_ckpt, args.modality, pred_dir, config=cfg
+        )
     # Headline: fixture-native space (identity denorm — see module doc).
     eval_dwi_tensors(pred_dir, None)
     rel_csv = os.path.join(quality_dir, "relative_errors.csv")
@@ -322,6 +333,10 @@ def main() -> int:
     ap.add_argument("--skip-train", default=None, metavar="CKPT",
                     help="skip training; run the judged-artifact chain on "
                          "this checkpoint")
+    ap.add_argument("--skip-eval", action="store_true",
+                    help="with --skip-train: reuse existing predictions + "
+                         "test_metrics.csv in the workdir instead of "
+                         "re-running device inference")
     ap.add_argument("--resume", default=None, metavar="CKPT",
                     help="resume training from this checkpoint directory "
                          "(a crashed run's last complete save)")
