@@ -321,6 +321,47 @@ def judged_artifact(args, cfg, data, best_ckpt, quality_dir):
     return summary
 
 
+def resolve_auto_resume(args) -> None:
+    """``--resume auto``: discover the newest complete checkpoint and all
+    prior metrics segments under ``--workdir`` so the command is safe to
+    re-run verbatim (the contract ``scripts/train_watchdog.py`` relies on).
+
+    Falls back to a fresh run when the workdir has no checkpoints yet.
+    Orbax writes ``<epoch>.orbax-checkpoint-tmp`` during a save and renames
+    on completion, so integer-named dirs are complete by construction.
+    """
+    args.resume = None
+    ckpt_root = os.path.join(args.workdir, "ckpts")
+    if os.path.isdir(ckpt_root):
+        for run in sorted(os.listdir(ckpt_root), reverse=True):
+            run_dir = os.path.join(ckpt_root, run)
+            epochs = [int(d) for d in os.listdir(run_dir) if d.isdigit()] \
+                if os.path.isdir(run_dir) else []
+            if epochs:
+                args.resume = os.path.join(run_dir, str(max(epochs)))
+                break
+    log_root = os.path.join(args.workdir, "logs")
+    segments = sorted(
+        p for p in (
+            os.path.join(log_root, run, "metrics.csv")
+            for run in (os.listdir(log_root) if os.path.isdir(log_root)
+                        else [])
+        )
+        if os.path.exists(p) and os.path.getsize(p) > 0
+    )
+    if args.resume and segments:
+        combined = os.path.join(args.workdir, "prior_metrics_combined.csv")
+        with open(combined, "w") as out:
+            for i, seg in enumerate(segments):
+                with open(seg) as fh:
+                    if i > 0:
+                        next(fh, None)  # drop duplicate headers
+                    out.write(fh.read())
+        args.prior_metrics = combined
+    print(f"auto-resume: checkpoint={args.resume} "
+          f"prior_segments={len(segments) if args.resume else 0}")
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--max-epochs", type=int, default=120)
@@ -339,7 +380,12 @@ def main() -> int:
                          "re-running device inference")
     ap.add_argument("--resume", default=None, metavar="CKPT",
                     help="resume training from this checkpoint directory "
-                         "(a crashed run's last complete save)")
+                         "(a crashed run's last complete save); the "
+                         "special value 'auto' discovers the newest "
+                         "complete checkpoint and prior metrics under "
+                         "--workdir (fresh run when none), making the "
+                         "command idempotently re-runnable under "
+                         "scripts/train_watchdog.py")
     ap.add_argument("--prior-metrics", default=None, metavar="CSV",
                     help="with --resume: the crashed run's metrics.csv, "
                          "spliced before the new rows in the convergence "
@@ -350,6 +396,8 @@ def main() -> int:
             "/tmp", "quality_run_smoke" if args.smoke else "quality_run"
         )
     os.makedirs(args.workdir, exist_ok=True)
+    if args.resume == "auto":
+        resolve_auto_resume(args)
     quality_dir = os.path.join(REPO, "quality")
     os.makedirs(quality_dir, exist_ok=True)
 

@@ -18,6 +18,12 @@
 #   TPU_NAME    (for gcloud fan-out on a pod; unset = run locally)
 #   ZONE        GCE zone for the pod
 #   CONFIG      JSON config path (optional)
+#   WATCHDOG_STALL      seconds; when set, supervise the local run with
+#                       scripts/train_watchdog.py (kills + auto-resumes a
+#                       wedged process — see utils/watchdog.py) and resume
+#                       from the newest checkpoint via --ckpt auto
+#   WATCHDOG_HEARTBEAT  heartbeat path (default: logs/ — TrainConfig.log_dir;
+#                       metrics.csv there is rewritten every epoch)
 set -euo pipefail
 
 BIDS_DIR=${1:?usage: run_train.sh BIDS_DIR [args...]}
@@ -36,6 +42,18 @@ if [ -n "${TPU_NAME:-}" ]; then
   gcloud compute tpus tpu-vm ssh "$TPU_NAME" \
     ${ZONE:+--zone "$ZONE"} --worker=all \
     --command "cd $REPO && PYTHONPATH=$REPO python3 src/train.py $QUOTED_ARGS"
+elif [ -n "${WATCHDOG_STALL:-}" ]; then
+  # Hang-proof local run: a wedged tunnel/device RPC blocks forever and is
+  # uninterruptible from inside the process; the watchdog restarts from the
+  # newest complete checkpoint. --ckpt auto makes the argv re-runnable.
+  case " ${ARGS[*]} " in
+    *" --ckpt "*) ;;
+    *) ARGS+=(--ckpt auto) ;;
+  esac
+  PYTHONPATH="$REPO" python3 "$REPO/scripts/train_watchdog.py" \
+    --stall-seconds "$WATCHDOG_STALL" \
+    --heartbeat "${WATCHDOG_HEARTBEAT:-logs}" -- \
+    python3 "$REPO/src/train.py" "${ARGS[@]}"
 else
   # No cd: a relative BIDS_DIR must resolve against the caller's cwd.
   PYTHONPATH="$REPO" python3 "$REPO/src/train.py" "${ARGS[@]}"
