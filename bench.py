@@ -50,11 +50,16 @@ OUT_CH = 6
 SAMPLES_PER_VOL = 8
 
 # Median wall time of the host_spin workload on this host when quiet
-# (measured 2026-08-19, single-core VM; min-of-9 with no other foreground
-# jobs). The bench emits the live measurement next to this constant so
-# cross-session ms deltas come with a noise floor: under hypervisor CPU
-# steal the same workload has measured 100x slower (BENCH_NOTES_r3).
-CLEAN_HOST_SPIN_MS = 240.0
+# (single-core VM). The bench emits the live measurement next to this
+# constant so cross-session ms deltas come with a noise floor: under
+# hypervisor CPU steal the same workload has measured 100x slower
+# (BENCH_NOTES_r3). Calibration history: first pinned at 240 ms
+# (2026-08-19 morning), then a later same-day bench run measured
+# 139.8 ms live — the 240 ms "quiet" reading was itself steal-inflated
+# ~1.7x. 140 ms is the fastest reading ever observed here and is the
+# honest floor; ratios >1 mean contention, and the old threshold would
+# have hidden up-to-2.6x steal behind the inflated baseline.
+CLEAN_HOST_SPIN_MS = 140.0
 
 
 def log(*args):

@@ -169,6 +169,27 @@ def run(epochs: int, smoke: bool, full_objective: bool = False,
     }
 
 
+def prior_entries(history, record, args):
+    """Same-regime prior records for the regression comparison.
+
+    .get throughout: CONVERGENCE.json also holds entries from other
+    regimes — multistage_bench's entries carry ``stage_epochs`` and no
+    ``epochs`` key — and a ``KeyError`` here once crashed ``--check``
+    AFTER its 36-minute training run but BEFORE the record was appended,
+    dropping an in-band result on the floor (2026-08-19, guard exit=1
+    with val PSNR 15.46 exactly on the canonical expectation).
+    """
+    return [
+        r for r in history
+        if r.get("smoke") == args.smoke
+        and r.get("epochs") == record["epochs"]
+        and r.get("full_objective", False) == args.full_objective
+        and r.get("linked", False) == args.linked
+        and r.get("samples_per_vol", 4) == args.samples_per_vol
+        and "val_psnr_last" in r
+    ]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--epochs", type=int, default=4)
@@ -211,13 +232,7 @@ def main() -> int:
     if os.path.exists(RECORD_PATH):
         with open(RECORD_PATH) as f:
             history = json.load(f)
-    prior = [
-        r for r in history
-        if r.get("smoke") == args.smoke and r["epochs"] == record["epochs"]
-        and r.get("full_objective", False) == args.full_objective
-        and r.get("linked", False) == args.linked
-        and r.get("samples_per_vol", 4) == args.samples_per_vol
-    ]
+    prior = prior_entries(history, record, args)
     if not args.no_record:
         if args.check:
             record["canonical_check"] = True
