@@ -25,6 +25,12 @@ hurting voxel fidelity. Reference: ``/root/reference/src/model.py:146``.
 
 Usage (real chip, ~1h):
     python scripts/perceptual_flip_ab.py --epochs 8
+Single-arm run against the pinned canonical baseline (real chip, ~35 min):
+    python scripts/perceptual_flip_ab.py --arms full_1e3 \
+        --epochs 12 --samples-per-vol 4
+    (at the canonical regime — linked, 12 epochs, spv 4 — the baseline arm
+    is already pinned by convergence_bench.CANONICAL at 15.46 dB, so the
+    delta is reported against it instead of re-training arm (a))
 CPU smoke:
     UNET_BSSFP_PLATFORM=cpu python scripts/perceptual_flip_ab.py --smoke \
         --epochs 1 --samples-per-vol 2
@@ -81,6 +87,16 @@ def main() -> int:
     ap.add_argument("--epochs", type=int, default=8)
     ap.add_argument("--samples-per-vol", type=int, default=32)
     ap.add_argument("--low-factor", type=float, default=10.0)
+    ap.add_argument("--arms", default=None,
+                    help="comma-separated subset of arm names to run "
+                         "(baseline_L1_BCE, full_1e3, full_<low-factor>); "
+                         "default runs all three. When baseline is skipped "
+                         "at the canonical regime (12 epochs, spv 4), deltas "
+                         "are reported vs convergence_bench.CANONICAL.")
+    ap.add_argument("--log-clean-val", action="store_true",
+                    help="also log an un-augmented val pass per epoch "
+                         "(val_clean_*) and record clean_minus_aug_psnr — "
+                         "the round-4 VERDICT #3 measurement")
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
@@ -141,6 +157,13 @@ def main() -> int:
          dict(with_perceptual=None, medicalnet_weights=npz,
               perceptual_factor=args.low_factor)),
     ]
+    if args.arms:
+        want = {a.strip() for a in args.arms.split(",")}
+        known = {name for name, _ in arms}
+        unknown = want - known
+        if unknown:
+            ap.error(f"unknown arm(s) {sorted(unknown)}; known: {sorted(known)}")
+        arms = [(n, kw) for n, kw in arms if n in want]
     entries = []
     for name, tkw in arms:
         cfg = Config(
@@ -156,7 +179,8 @@ def main() -> int:
             train=TrainConfig(
                 log_dir=os.path.join(workdir, "logs", name),
                 checkpoint_dir=os.path.join(workdir, "ckpts", name),
-                max_epochs=args.epochs, seed=42, **tkw,
+                max_epochs=args.epochs, seed=42,
+                log_clean_val=args.log_clean_val, **tkw,
             ),
         )
         # The flip under test: auto must resolve ON for the converted file.
@@ -197,13 +221,34 @@ def main() -> int:
             "val_psnr_last": round(float(last["val_metric_PSNR"]), 3),
             "val_ssim_last": round(float(last["val_metric_SSIM"]), 4),
         }
+        if args.log_clean_val:
+            entry["val_clean_psnr_last"] = round(
+                float(last["val_clean_metric_PSNR"]), 3)
+            entry["val_clean_ssim_last"] = round(
+                float(last["val_clean_metric_SSIM"]), 4)
+            entry["clean_minus_aug_psnr"] = round(
+                entry["val_clean_psnr_last"] - entry["val_psnr_last"], 3)
         entries.append(entry)
         print(json.dumps(entry, indent=2), flush=True)
 
-    base = entries[0]["val_psnr_last"]
-    for e in entries[1:]:
-        print(f"{e['arm']}: {e['val_psnr_last'] - base:+.2f} dB vs baseline",
-              flush=True)
+    if entries[0]["arm"] == "baseline_L1_BCE":
+        base, base_src = entries[0]["val_psnr_last"], "baseline arm"
+    else:
+        # Single/partial-arm mode: fall back to the pinned canonical
+        # expectation when the regime matches it exactly.
+        from convergence_bench import CANONICAL
+
+        if (not args.smoke and args.epochs == CANONICAL["epochs"]
+                and args.samples_per_vol == CANONICAL["samples_per_vol"]):
+            base = CANONICAL["expected_psnr"]
+            base_src = "pinned canonical baseline (convergence_bench)"
+        else:
+            base, base_src = None, None
+    if base is not None:
+        for e in entries:
+            if e["arm"] != "baseline_L1_BCE":
+                print(f"{e['arm']}: {e['val_psnr_last'] - base:+.2f} dB "
+                      f"vs {base_src} ({base} dB)", flush=True)
 
     if not args.no_record:
         history = []
