@@ -159,7 +159,9 @@ def main() -> int:
         path = os.path.join(REPO, "CONVERGENCE.json")
         history = json.load(open(path)) if os.path.exists(path) else []
         history.append(entry)
-        json.dump(history, open(path, "w"), indent=1)
+        with open(path, "w") as fh:
+            json.dump(history, fh, indent=1)
+            fh.write("\n")
         print(f"recorded to {path} ({len(history)} records)")
     return 0
 

@@ -239,6 +239,7 @@ def main() -> int:
         history.append(record)
         with open(RECORD_PATH, "w") as f:
             json.dump(history, f, indent=2)
+            f.write("\n")
         print(f"recorded to {RECORD_PATH} ({len(history)} records)")
     if args.check:
         lo = CANONICAL["expected_psnr"] - CANONICAL["band_db"]

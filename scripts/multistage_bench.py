@@ -271,6 +271,7 @@ def main() -> int:
         history += [ms_entry, direct_entry]
         with open(RECORD_PATH, "w") as f_:
             json.dump(history, f_, indent=2)
+            f_.write("\n")
         print(f"recorded to {RECORD_PATH} ({len(history)} records)")
     return 0
 

@@ -201,6 +201,7 @@ def main():
         existing.append(entry)
         with open(args.out, "w") as f:
             json.dump(existing, f, indent=1)
+            f.write("\n")
         print(f"recorded to {args.out} ({len(existing)} records)")
 
 

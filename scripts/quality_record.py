@@ -435,6 +435,7 @@ def main() -> int:
         history.append(entry)
         with open(record_path, "w") as f:
             json.dump(history, f, indent=2)
+            f.write("\n")
         print(f"recorded to {record_path}")
 
     print(f"judged-artifact chain from {best_ckpt}")
@@ -447,6 +448,7 @@ def main() -> int:
     history.append(summary)
     with open(out, "w") as f:
         json.dump(history, f, indent=2)
+        f.write("\n")
     print(json.dumps(summary, indent=2))
     print(f"recorded to {out}")
     return 0

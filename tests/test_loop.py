@@ -234,12 +234,16 @@ def test_perceptual_default_on(bids_root, tmp_path):
     from unet_bssfp_tpu.models.medicalnet import medicalnet_is_pretrained
     from unet_bssfp_tpu.train.loop import resolve_with_perceptual
 
+    from unet_bssfp_tpu.train.loop import PERCEPTUAL_AUTO_MAX_FACTOR
+
     cfg = _config(tmp_path, max_epochs=1)
     tcfg_auto = dataclasses.replace(cfg.train, with_perceptual=None)
     assert TrainConfig().with_perceptual is None  # framework default: auto
-    # auto == pretrained-weights presence; forcing overrides either way
-    assert resolve_with_perceptual(tcfg_auto) == medicalnet_is_pretrained(
-        tcfg_auto.medicalnet_weights
+    # auto == fingerprint-verified weights AND factor within the validated
+    # bound (round-5 conservative policy); forcing overrides either way
+    assert resolve_with_perceptual(tcfg_auto) == (
+        medicalnet_is_pretrained(tcfg_auto.medicalnet_weights)
+        and tcfg_auto.perceptual_factor <= PERCEPTUAL_AUTO_MAX_FACTOR
     )
     assert resolve_with_perceptual(
         dataclasses.replace(cfg.train, with_perceptual=True)

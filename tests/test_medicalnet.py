@@ -238,13 +238,59 @@ def test_resolve_medicalnet_path_env(tmp_path, monkeypatch):
     monkeypatch.delenv("UNET_BSSFP_MEDICALNET", raising=False)
     if resolve_medicalnet_path(None) is None:  # no weights/ drop-in present
         assert not medicalnet_is_pretrained(None)
+    # A stray npz that exists but fails the pinned fingerprint must NOT
+    # count as pretrained (round-5 policy: existence is not identity).
     f = tmp_path / "mn.npz"
     np.savez(f, x=np.zeros(1))
     monkeypatch.setenv("UNET_BSSFP_MEDICALNET", str(f))
     assert resolve_medicalnet_path(None) == str(f)
+    assert not medicalnet_is_pretrained(None)
+    # A checkpoint carrying the full pinned tensor inventory passes.
+    import torch
+
+    sd = _synthetic_med3d_state_dict(torch, seed=3)
+    good = tmp_path / "mn_good.npz"
+    np.savez(good, **sd)
+    monkeypatch.setenv("UNET_BSSFP_MEDICALNET", str(good))
     assert medicalnet_is_pretrained(None)
     # explicit path wins over the env var
     assert resolve_medicalnet_path("/elsewhere.npz") == "/elsewhere.npz"
+
+
+def test_auto_flip_never_engages_at_1e3(tmp_path):
+    """Round-4 VERDICT #3 pin: weights that PASS the structural fingerprint
+    (a converted file is indistinguishable from the published one by shape)
+    must still never auto-enable the perceptual term at the reference's 1e3
+    factor — the on-chip record at exactly that point collapsed training
+    (CONVERGENCE.json arm="full_1e3", −1.63 dB val PSNR). Auto engages only
+    at factors ≤ PERCEPTUAL_AUTO_MAX_FACTOR; explicit True still forces."""
+    import torch
+
+    from unet_bssfp_tpu.config import TrainConfig
+    from unet_bssfp_tpu.models.medicalnet import medicalnet_is_pretrained
+    from unet_bssfp_tpu.train.loop import (
+        PERCEPTUAL_AUTO_MAX_FACTOR,
+        resolve_with_perceptual,
+    )
+
+    sd = _synthetic_med3d_state_dict(torch, seed=11)
+    npz = tmp_path / "mn.npz"
+    np.savez(npz, **sd)
+    assert medicalnet_is_pretrained(str(npz))  # fingerprint passes...
+    assert 1e3 > PERCEPTUAL_AUTO_MAX_FACTOR
+    assert not resolve_with_perceptual(TrainConfig(
+        with_perceptual=None, medicalnet_weights=str(npz),
+        perceptual_factor=1e3,
+    ))  # ...yet auto at 1e3 stays OFF
+    assert resolve_with_perceptual(TrainConfig(
+        with_perceptual=True, medicalnet_weights=str(npz),
+        perceptual_factor=1e3,
+    ))  # explicit force-on is untouched
+    if PERCEPTUAL_AUTO_MAX_FACTOR > 0:
+        assert resolve_with_perceptual(TrainConfig(
+            with_perceptual=None, medicalnet_weights=str(npz),
+            perceptual_factor=PERCEPTUAL_AUTO_MAX_FACTOR,
+        ))  # auto engages at the validated factor
 
 
 def test_real_weights_end_to_end():

@@ -109,14 +109,44 @@ def resolve_medicalnet_path(weights_path: Optional[str] = None) -> Optional[str]
     return default if os.path.exists(default) else None
 
 
+#: ``(path, mtime) -> bool`` cache for :func:`medicalnet_is_pretrained` —
+#: the check np.loads the ~50 MB archive and is called per Trainer build.
+_pretrained_cache: Dict[tuple, bool] = {}
+
+
 def medicalnet_is_pretrained(weights_path: Optional[str] = None) -> bool:
     """True when a converted Med3D checkpoint is discoverable (explicit
-    path, ``$UNET_BSSFP_MEDICALNET``, or the default ``weights/`` drop-in) —
-    i.e. perceptual/FID numbers are comparable to the reference's."""
+    path, ``$UNET_BSSFP_MEDICALNET``, or the default ``weights/`` drop-in)
+    AND its tensor inventory passes :func:`check_medicalnet_fingerprint` —
+    i.e. perceptual/FID numbers are comparable to the reference's. A file
+    that exists but fails the fingerprint (wrong architecture, truncated
+    download, stray npz) returns False with a warning instead of silently
+    flipping the objective."""
     import os
 
     path = resolve_medicalnet_path(weights_path)
-    return bool(path) and os.path.exists(path)
+    if not (path and os.path.exists(path)):
+        return False
+    try:
+        key = (os.path.abspath(path), os.stat(path).st_mtime)
+    except OSError:
+        return False
+    if key in _pretrained_cache:
+        return _pretrained_cache[key]
+    try:
+        with np.load(path) as archive:
+            sd = {k: archive[k] for k in archive.files
+                  if k != "__source_sha256__"}
+        check_medicalnet_fingerprint(sd)
+        ok = True
+    except Exception as exc:  # noqa: BLE001 — any load failure means "no"
+        _log.warning(
+            "Med3D checkpoint at %s failed the pinned fingerprint check "
+            "(%s); treating as NOT pretrained.", path, exc,
+        )
+        ok = False
+    _pretrained_cache[key] = ok
+    return ok
 
 
 def _phase_split_ok(shape, dilation: int) -> bool:

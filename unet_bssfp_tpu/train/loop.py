@@ -25,26 +25,51 @@ from unet_bssfp_tpu.train.state import GANTrainState, build_models, create_gan_s
 from unet_bssfp_tpu.train.steps import make_eval_step, make_train_step
 
 
+#: Highest ``perceptual_factor`` the auto flip may enable the perceptual
+#: term at. The on-chip A/B at the reference's 1e3 weighting with
+#: converted-but-not-pretrained features collapsed training (val PSNR
+#: −1.63 dB vs the 15.46 dB canonical baseline — CONVERGENCE.json
+#: ``arm="full_1e3"``, 2026-08-19), and a structural fingerprint cannot
+#: distinguish the published Med3D file from any same-shaped checkpoint, so
+#: auto mode only enables the term at factors with a non-degrading linked
+#: convergence record behind them. Raise this ONLY alongside such a record;
+#: an explicit ``with_perceptual=True`` still forces the term on at any
+#: factor (reference objective: ``/root/reference/src/model.py:146``).
+PERCEPTUAL_AUTO_MAX_FACTOR = 0.0  # no factor validated yet: auto stays OFF
+
+
 def resolve_with_perceptual(tcfg) -> bool:
     """Resolve the ``with_perceptual`` tri-state (``config.py``).
 
-    None (auto) → on iff converted pretrained Med3D weights resolve: the
-    reference objective is *pretrained*-perceptual; the random-feature
-    fallback at the reference's 1e3 weighting dominates the loss and is
-    measured to anti-correlate with voxel fidelity (CONVERGENCE.json
-    ``full_objective`` record), so auto mode trains L1+BCE instead. An
+    None (auto) → on iff BOTH hold: (a) a converted Med3D checkpoint that
+    passes the pinned structural fingerprint resolves, and (b) the
+    configured ``perceptual_factor`` is at or below
+    :data:`PERCEPTUAL_AUTO_MAX_FACTOR` — the largest factor with a
+    non-degrading convergence record (the reference's 1e3 is measured
+    catastrophic with non-pretrained features, CONVERGENCE.json). An
     explicit True still forces the term on (random features warned by
     ``load_medicalnet``)."""
     if tcfg.with_perceptual is not None:
         return tcfg.with_perceptual
     from unet_bssfp_tpu.models.medicalnet import medicalnet_is_pretrained
 
+    log = logging.getLogger(__name__)
     if medicalnet_is_pretrained(tcfg.medicalnet_weights):
-        return True
-    # warning (not info) so the objective switch is visible at the default
-    # log config (ADVICE r3): users coming from the reference expect the
-    # perceptual term on.
-    logging.getLogger(__name__).warning(
+        if tcfg.perceptual_factor <= PERCEPTUAL_AUTO_MAX_FACTOR:
+            return True
+        # warning (not info) so the objective switch is visible at the
+        # default log config (ADVICE r3).
+        log.warning(
+            "with_perceptual=None (auto): converted Med3D weights resolve "
+            "but perceptual_factor=%g exceeds the validated auto bound %g "
+            "(full objective @1e3 with non-pretrained features collapsed "
+            "training to -1.6 dB val PSNR — CONVERGENCE.json). Training "
+            "with the L1+BCE objective; set with_perceptual=true to force "
+            "the term on at this factor.",
+            tcfg.perceptual_factor, PERCEPTUAL_AUTO_MAX_FACTOR,
+        )
+        return False
+    log.warning(
         "with_perceptual=None (auto) and no converted Med3D weights found: "
         "training with the L1+BCE objective. The reference's perceptual "
         "term needs pretrained features — the random-feature fallback at "
