@@ -281,3 +281,28 @@ def test_linked_fixture_is_learnable(tmp_path):
         root_u, "derivatives", "preproc-dove", "sub-01", "ses-1", "dwi",
         "sub-01_ses-1_desc-normtensor_dwi.nii.gz"))[0]
     assert np.abs(dt - _linked_map(pc, 6, tag=1)).max() > 0.05
+
+
+def test_two_cohort_offset_shifts_linked_map(tmp_path):
+    """``link_tag_offset``: a second COHORT whose generating map is in the
+    same family but genuinely different — the two-cohort domain-transfer
+    fixture (pretrain on offset-0, finetune on offset-k; reference regime
+    ``doc/thesis/03-methods.tex:784-787``)."""
+    from unet_bssfp_tpu.data.nifti import load_volume
+    from unet_bssfp_tpu.data.synthetic import _linked_map
+
+    root = make_synthetic_bids(
+        str(tmp_path / "b"), subjects=("01",), sessions=("1",),
+        volume_shape=(8, 8, 8), linked=True, link_tag_offset=10,
+    )
+    d = os.path.join(root, "derivatives", "preproc-dove", "sub-01", "ses-1")
+    pc = load_volume(os.path.join(
+        d, "dwi", "sub-01_ses-1_desc-normflatbet_bssfp.nii.gz"))[0]
+    dt = load_volume(os.path.join(
+        d, "dwi", "sub-01_ses-1_desc-normtensor_dwi.nii.gz"))[0]
+    t1w = load_volume(os.path.join(
+        d, "anat", "sub-01_ses-1_desc-normrepeat_T1w.nii.gz"))[0]
+    np.testing.assert_allclose(dt, _linked_map(pc, 6, tag=11), atol=1e-6)
+    np.testing.assert_allclose(t1w, _linked_map(pc, 6, tag=13), atol=1e-6)
+    # the shifted map differs from the offset-0 cohort's relation
+    assert np.abs(dt - _linked_map(pc, 6, tag=1)).max() > 0.05

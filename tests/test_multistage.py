@@ -104,3 +104,70 @@ def test_supervised_eval_step():
     assert y_hat.shape == y.shape
     for k in ("val_loss", "val_loss_L1", "val_loss_SSIM", "val_metric_PSNR"):
         assert np.isfinite(float(m[k])), k
+
+
+def test_run_multistage_pretrain_data_routing(tmp_path):
+    """``pretrain_data`` feeds ONLY the PRETRAIN stage; the target cohort
+    (``data``) feeds TRANSFER and FINE_TUNE — the two-cohort regime the
+    thesis's finetune-vs-direct comparison requires
+    (``doc/thesis/03-methods.tex:784-787``)."""
+    import dataclasses
+
+    from unet_bssfp_tpu.config import Config, DataConfig, TrainConfig
+    from unet_bssfp_tpu.parallel.mesh import make_mesh
+    from unet_bssfp_tpu.train.multistage import run_multistage
+
+    CH = {"dwi-tensor": 6, "pc-bssfp": 24, "dwi-tensor_orig": 6}
+
+    class FakeData:
+        """Minimal data-module stand-in recording which stage consumed it."""
+
+        def __init__(self, patch):
+            self.patch = patch
+            self.calls = []
+
+        def _batch(self, keys):
+            rng = np.random.default_rng(0)
+            out = {}
+            for k in set(keys) | {"dwi-tensor_orig"}:
+                out[k] = jnp.asarray(rng.random(
+                    (2, self.patch, self.patch, self.patch, CH[k])
+                ).astype(np.float32))
+            return out
+
+        def train_batches(self, key, keys, batch_divisor=1):
+            self.calls.append(("train", tuple(keys)))
+            yield self._batch(keys)
+
+        def val_batches(self, key, keys, batch_divisor=1):
+            self.calls.append(("val", tuple(keys)))
+            yield self._batch(keys)
+
+    cfg = Config(
+        model=dataclasses.replace(
+            MCFG, multistage_features=(4, 8, 8, 16, 16, 4)
+        ),
+        data=DataConfig(patch_size=PATCH, batch_size=2),
+        train=TrainConfig(
+            log_dir=str(tmp_path / "logs"),
+            checkpoint_dir=str(tmp_path / "ckpts"),
+            with_perceptual=False,
+        ),
+    )
+    cohort_a, cohort_b = FakeData(PATCH), FakeData(PATCH)
+    states, row = run_multistage(
+        cohort_b, "pc-bssfp", config=cfg,
+        epochs_per_stage={s: 1 for s in TrainingState},
+        mesh=make_mesh(1), pretrain_data=cohort_a,
+    )
+    # PRETRAIN (autoencoder on DT) consumed cohort A only...
+    assert cohort_a.calls == [
+        ("train", ("dwi-tensor", "dwi-tensor")),
+        ("val", ("dwi-tensor", "dwi-tensor")),
+    ]
+    # ...while TRANSFER + FINE_TUNE trained on the target cohort B.
+    assert cohort_b.calls == [
+        ("train", ("pc-bssfp", "dwi-tensor")),
+        ("val", ("pc-bssfp", "dwi-tensor")),
+    ] * 2
+    assert len(states) == 3 and np.isfinite(row["val_loss"])

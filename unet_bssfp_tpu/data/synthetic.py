@@ -77,6 +77,7 @@ def make_synthetic_bids(
     seed: int = 0,
     derivatives: str = "derivatives/preproc-dove",
     linked: bool = False,
+    link_tag_offset: int = 0,
 ) -> str:
     """Create the fixture tree; returns ``root``.
 
@@ -98,6 +99,13 @@ def make_synthetic_bids(
     regime: the data layer cross-products DT and bSSFP files across sessions
     (reference ``src/data_module.py:108-117``), and a ses-1 DT paired with a
     ses-2 bSSFP would break the link.
+
+    ``link_tag_offset`` shifts the ``_linked_map`` seed tags, producing a
+    COHORT with a different (but same-family) generating map — the
+    two-cohort domain-transfer fixture: pretrain on a large offset-0 cohort,
+    finetune on a small offset-k cohort whose input→target relation is
+    related but not identical, mirroring the thesis's pretrain→finetune
+    domain shift (``/root/reference/doc/thesis/03-methods.tex:784-787``).
     """
     rng = np.random.default_rng(seed)
     deriv_root = os.path.join(root, derivatives)
@@ -109,8 +117,8 @@ def make_synthetic_bids(
             pre = f"sub-{sub}_ses-{ses}"
             if linked:
                 pc = _smooth_field(rng, volume_shape, 24)
-                dt = _linked_map(pc, 6, tag=1)
-                nopc = _linked_map(pc, 24, tag=2)
+                dt = _linked_map(pc, 6, tag=1 + link_tag_offset)
+                nopc = _linked_map(pc, 24, tag=2 + link_tag_offset)
             else:
                 # draw order is load-bearing: it pins the byte content of
                 # the (cached, round-tracked) unlinked fixtures
@@ -132,7 +140,7 @@ def make_synthetic_bids(
             if i == 0:
                 save_volume(
                     os.path.join(base, "anat", f"{pre}_desc-normrepeat_T1w.nii.gz"),
-                    (_linked_map(pc, 6, tag=3) if linked
+                    (_linked_map(pc, 6, tag=3 + link_tag_offset) if linked
                      else _smooth_field(rng, volume_shape, 6)),
                 )
                 mask = (rng.random(volume_shape) > 0.2).astype(np.float32)

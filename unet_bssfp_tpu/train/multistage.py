@@ -243,9 +243,15 @@ def run_multistage(
     perceptual_fn: Optional[Callable] = None,
     epochs_per_stage: Optional[Dict[TrainingState, int]] = None,
     mesh=None,
+    pretrain_data=None,
 ) -> Tuple[Dict[TrainingState, SupervisedState], Dict[str, float]]:
     """Drive the three stages end-to-end for one target modality. Returns the
-    per-stage final states and the last stage's epoch metrics."""
+    per-stage final states and the last stage's epoch metrics.
+
+    ``pretrain_data``: optional separate data module for the PRETRAIN stage —
+    the thesis regime pretrains the DT autoencoder on a LARGE cohort and
+    transfers/finetunes on the small target cohort (``data``); when omitted
+    all stages share ``data`` (single-cohort, as before)."""
     from unet_bssfp_tpu.parallel.mesh import make_mesh, shard_batch
     from unet_bssfp_tpu.train.logging import EarlyStopping, MetricLogger
 
@@ -283,6 +289,11 @@ def run_multistage(
         modality = (
             "dwi-tensor" if stage == TrainingState.PRETRAIN else target_modality
         )
+        stage_data = (
+            pretrain_data
+            if stage == TrainingState.PRETRAIN and pretrain_data is not None
+            else data
+        )
         net = build_multi_input_unet(modality, config.model, mesh=mesh)
         key, k_stage = jax.random.split(key)
         if stage == TrainingState.TRANSFER and params is not None:
@@ -315,7 +326,7 @@ def run_multistage(
         n_dev = mesh.devices.size
         for epoch in range(n_epochs):
             epoch_key, k_tr, k_val = jax.random.split(epoch_key, 3)
-            for batch in data.train_batches(
+            for batch in stage_data.train_batches(
                 k_tr, keys=keys, batch_divisor=n_dev
             ):
                 batch = shard_batch(mesh, batch)
@@ -323,7 +334,7 @@ def run_multistage(
                     state, batch[modality], batch["dwi-tensor_orig"]
                 )
                 logger.log_step(m)
-            for batch in data.val_batches(
+            for batch in stage_data.val_batches(
                 k_val, keys=keys, batch_divisor=n_dev
             ):
                 batch = shard_batch(mesh, batch)
