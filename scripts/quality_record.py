@@ -310,6 +310,20 @@ def judged_artifact(args, cfg, data, best_ckpt, quality_dir):
         "offdiag_median_rel_err": round(
             float(np.median(med[offdiag].to_numpy())), 4
         ),
+        # Denominator-floored companions (relative_error_map_floored):
+        # RD and the off-diagonals cross zero voxel-wise, so their RAW
+        # relative error is unbounded by construction (thesis
+        # 04-results.tex:16-17,64-66) — these columns bound the denominator
+        # to separate model error from denominator pathology.
+        "offdiag_median_rel_err_floored": (
+            round(float(np.median(
+                med[[f"{c}_floored" for c in offdiag]].to_numpy())), 4)
+            if all(f"{c}_floored" in med.columns for c in offdiag) else None
+        ),
+        "rd_median_rel_err_floored": (
+            round(float(np.median(med["rd_floored"].to_numpy())), 4)
+            if "rd_floored" in med.columns else None
+        ),
         "denorm_per_roi_median_rel_err": denorm_summary,
         "artifacts": {
             "relative_errors_csv": os.path.relpath(rel_csv, REPO),

@@ -109,6 +109,12 @@ def test_run_test_and_full_eval_chain(dm, tmp_path, bids_root):
     cols = set(table.columns)
     assert {"fa", "md", "ad", "rd", "azimuth", "inclination"} <= cols
     assert {"dxx", "dxy", "dxz", "dyy", "dyz", "dzz"} <= cols
+    # Denominator-floored companions (zero-crossing targets — RD and the
+    # off-diagonals — get a bounded twin; angular errors don't need one).
+    assert {"rd_floored", "md_floored", "dxy_floored", "dzz_floored"} <= cols
+    assert "azimuth_floored" not in cols and "inclination_floored" not in cols
+    floored = [c for c in table.columns if c.endswith("_floored")]
+    assert np.isfinite(table[floored].to_numpy()).all()
     rois = {i[2] for i in table.index}
     assert rois == {"CSF", "GM", "WM"}
     assert np.isfinite(table[["md", "fa"]].to_numpy()).all()
@@ -204,3 +210,35 @@ def test_scalar_and_diff_map_paths_are_basename_scoped(tmp_path):
         assert os.path.exists(p)
         assert os.path.basename(p).startswith("diff-")
         assert "preds_denorm" in p
+
+
+def test_relative_error_map_floored_bounds_zero_denominator():
+    """The raw relative error is inf where the target crosses zero (kept for
+    reference parity); the floored companion stays finite and bounded by
+    |err| / (floor_frac * mean nonzero |target|), and matches the raw value
+    wherever |target| is comfortably above the floor."""
+    from unet_bssfp_tpu.ops.error_maps import (
+        relative_error_map,
+        relative_error_map_floored,
+    )
+
+    t = np.array([0.0, 1e-9, 1.0, -1.0, 2.0], dtype=np.float32)
+    p = t + 0.1
+    raw = np.asarray(relative_error_map(p, t))
+    flo = np.asarray(relative_error_map_floored(p, t, floor_frac=0.1))
+    assert np.isinf(raw[0])          # zero denominator -> inf (parity)
+    assert np.isfinite(flo).all()    # companion is always finite
+    # mean nonzero |t| = 1.0 -> floor = 0.1; the near-zero voxel is bounded
+    # by 0.1/0.1 = 1.0 instead of exploding to 1e8.
+    assert flo[1] <= 1.0 + 1e-5 and raw[1] > 1e6
+    # away from the floor the two agree
+    np.testing.assert_allclose(flo[4], abs(raw[4]), rtol=1e-6)
+    # per-channel floor: a channel full of tiny targets keeps its own scale
+    t2 = np.zeros((2, 2, 2, 2), dtype=np.float32)
+    t2[..., 0] = 1.0
+    t2[..., 1] = 1e-3
+    p2 = t2 + 0.01
+    f2 = np.asarray(relative_error_map_floored(p2, t2, floor_frac=0.1))
+    assert np.isfinite(f2).all()
+    # channel 1's floor is 0.1*1e-3 -> denominator 1e-3, err 0.01/1e-3 = 10
+    np.testing.assert_allclose(f2[..., 1], 10.0, rtol=1e-4)

@@ -32,6 +32,7 @@ from unet_bssfp_tpu.ops.error_maps import (
     angular_error_map,
     masked_probseg,
     relative_error_map,
+    relative_error_map_floored,
     roi_weighted_mean_errors,
 )
 from unet_bssfp_tpu.ops.scalar_maps import (
@@ -45,7 +46,7 @@ TENSOR_COLS = ("dxx", "dxy", "dxz", "dyy", "dyz", "dzz")
 ROI_NAMES = ("CSF", "GM", "WM")
 
 _NAME_RE = re.compile(
-    r"(?P<kind>input|pred|target|diff)-(?P<idx>\d+)_mod-(?P<mod>.+?)"
+    r"(?P<kind>input|pred|target|diff|dfloor)-(?P<idx>\d+)_mod-(?P<mod>.+?)"
     # Optional save_predictions timestamp — must not fold into `mod`.
     r"(?:_(?P<time>\d{8}-\d{6}))?"
     r"_sub-(?P<sub>[^_]+)_ses-(?P<ses>[^_.]+)"
@@ -157,8 +158,16 @@ def calc_scalar_maps(
 def calc_diff_maps(directory: str, num_workers: int = 8) -> List[str]:
     """Relative-error maps for tensors/diffusivities, angular for
     azimuth/inclination; writes ``diff-...`` files (reference
-    ``calc_diff_maps`` + ``do_calc_diff_maps``, ``src/eval.py:154-192``)."""
+    ``calc_diff_maps`` + ``do_calc_diff_maps``, ``src/eval.py:154-192``).
+
+    For every relative-error map a denominator-floored companion
+    (``dfloor-...``) is written alongside — see
+    :func:`relative_error_map_floored`: the raw map is reference parity
+    (unbounded where the target crosses zero, thesis
+    ``04-results.tex:16-17``), the companion bounds the denominator so the
+    judged table can separate model error from denominator pathology."""
     rel_fn = jax.jit(relative_error_map)
+    rel_floor_fn = jax.jit(relative_error_map_floored)
     ang_fn = jax.jit(angular_error_map)
 
     by_key: Dict[Tuple, Dict[str, str]] = {}
@@ -183,15 +192,19 @@ def calc_diff_maps(directory: str, num_workers: int = 8) -> List[str]:
         pred_path, target_path, deriv = args
         pred, affine = load_volume(pred_path)
         target, _ = load_volume(target_path)
-        if deriv in ("azimuth", "inclination"):
-            diff = ang_fn(jnp.asarray(pred), jnp.asarray(target))
-        else:
-            diff = rel_fn(jnp.asarray(pred), jnp.asarray(target))
+        p, t = jnp.asarray(pred), jnp.asarray(target)
         # Basename-scoped rewrite (a directory named e.g. pred-runs/ must
         # survive).
         pdir, pbase = os.path.split(pred_path)
         out_path = os.path.join(pdir, pbase.replace("pred-", "diff-", 1))
-        save_volume(out_path, np.asarray(diff), affine)
+        if deriv in ("azimuth", "inclination"):
+            save_volume(out_path, np.asarray(ang_fn(p, t)), affine)
+            return out_path
+        save_volume(out_path, np.asarray(rel_fn(p, t)), affine)
+        floor_path = os.path.join(
+            pdir, pbase.replace("pred-", "dfloor-", 1)
+        )
+        save_volume(floor_path, np.asarray(rel_floor_fn(p, t)), affine)
         return out_path
 
     return parallel_map(work, pairs, num_workers)
@@ -233,6 +246,13 @@ def calc_error_table(
     ses, roi) x (tensor elements + scalars), merged into one table (reference
     ``calc_error_table`` + ``do_calc_error_avg``, ``src/eval.py:217-317``).
     Returns a pandas DataFrame; writes ``out_csv`` when given.
+
+    Denominator-floored companion maps (``dfloor-`` files, see
+    :func:`relative_error_map_floored`) land as ``<column>_floored``
+    columns next to the raw reference-parity ones, so quantities whose
+    target crosses zero (RD, off-diagonals — thesis
+    ``04-results.tex:16-17,64-66``) report model error and denominator
+    pathology separately.
     """
     import pandas as pd
 
@@ -240,9 +260,8 @@ def calc_error_table(
     for root, _, files in os.walk(pred_path):
         for fn in sorted(files):
             ents = parse_pred_name(fn)
-            if ents and ents["kind"] == "diff" and ents["deriv"] not in (
-                "denorm", "rgb",
-            ):
+            if ents and ents["kind"] in ("diff", "dfloor") and \
+                    ents["deriv"] not in ("denorm", "rgb"):
                 diff_files.append(os.path.join(root, fn))
 
     subjects = sorted(
@@ -275,6 +294,8 @@ def calc_error_table(
             cols = [ents["deriv"]]
         else:
             cols = list(TENSOR_COLS)
+        if ents["kind"] == "dfloor":
+            cols = [f"{c}_floored" for c in cols]
         rows = []
         for r, roi in enumerate(ROI_NAMES):
             for c, col in enumerate(cols):
@@ -303,9 +324,10 @@ def calc_error_table(
         aggfunc="mean",
     ).reset_index()
     table.columns.name = None
+    base_cols = list(TENSOR_COLS) + ["md", "fa", "ad", "rd", "azimuth",
+                                     "inclination"]
     ordered = ["modality", "pred_id", "sub", "ses", "roi"] + [
-        c for c in list(TENSOR_COLS) + ["md", "fa", "ad", "rd", "azimuth",
-                                        "inclination"]
+        c for c in base_cols + [f"{b}_floored" for b in base_cols]
         if c in table.columns
     ]
     table = table[ordered].set_index(["modality", "pred_id", "roi"])

@@ -23,6 +23,32 @@ def relative_error_map(pred: jax.Array, target: jax.Array) -> jax.Array:
     return jnp.abs(pred - target) / target
 
 
+def relative_error_map_floored(
+    pred: jax.Array, target: jax.Array, floor_frac: float = 0.1
+) -> jax.Array:
+    """Denominator-floored companion of :func:`relative_error_map`.
+
+    The raw reference-parity relative error is unbounded wherever the target
+    crosses zero — the thesis reports exactly this pathology for the DT
+    off-diagonals and RD (reference ``doc/thesis/04-results.tex:16-17,64-66``:
+    "values close to zero ... relative errors explode"), and a judged table
+    built from it mixes model error with denominator pathology. This
+    companion bounds the denominator at ``floor_frac`` x the mean |target|
+    over nonzero-target voxels (per channel for multi-channel maps), so a
+    voxel's error can exceed ``1/floor_frac`` only through genuine
+    prediction error, never through a vanishing denominator. The raw column
+    is kept alongside; this one is reported with a ``_floored`` suffix.
+    """
+    at = jnp.abs(target)
+    # Per-channel scale for S+(C,) tensor maps; global for S scalar maps.
+    spatial = tuple(range(3)) if at.ndim > 3 else tuple(range(at.ndim))
+    nz = (at > 0).astype(at.dtype)
+    scale = jnp.sum(at * nz, axis=spatial, keepdims=True) / jnp.maximum(
+        jnp.sum(nz, axis=spatial, keepdims=True), 1.0
+    )
+    return jnp.abs(pred - target) / jnp.maximum(at, floor_frac * scale)
+
+
 def angular_error_map(pred: jax.Array, target: jax.Array) -> jax.Array:
     """Absolute angular error in degrees with 360-degree wraparound
     (reference ``src/eval.py:163-164``): ``d = (pred - target) mod 360``,
