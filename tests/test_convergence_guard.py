@@ -7,7 +7,10 @@ crashed a finished 36-minute on-chip guard run before it was recorded
 
 import argparse
 import os
+import subprocess
 import sys
+
+import pytest
 
 sys.path.insert(
     0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "scripts")
@@ -58,3 +61,24 @@ def test_canonical_regime_is_pinned():
     assert CANONICAL["linked"] is True
     assert CANONICAL["samples_per_vol"] == 4
     assert abs(CANONICAL["expected_psnr"] - 15.46) < 1e-9
+
+
+@pytest.mark.slow
+def test_canonical_cpu_guard_in_band():
+    """Round-4 VERDICT #5: the convergence guard must run from something
+    that executes every round. This runs the pinned CANONICAL_CPU regime
+    (smoke-scale linked fixture, single-device CPU backend) end-to-end via
+    the real CLI and fails when final val PSNR leaves the band — so a
+    convergence regression fails the slow tier without anyone remembering
+    to fire the ~35-min on-chip --check."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["UNET_BSSFP_PLATFORM"] = "cpu"  # pinned band is single-device CPU
+    proc = subprocess.run(
+        [sys.executable, os.path.join(repo, "scripts",
+                                      "convergence_bench.py"),
+         "--check-cpu", "--no-record"],
+        capture_output=True, text=True, timeout=2400, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, f"{proc.stdout}\n{proc.stderr}"
+    assert "canonical check ok" in proc.stdout
