@@ -154,3 +154,28 @@ def test_cli_shim_help():
     )
     assert out.returncode == 0
     assert "--stall-seconds" in out.stdout
+
+
+def test_log_step_touches_heartbeat(tmp_path, monkeypatch):
+    """The logger heartbeats at step granularity: a long epoch (or the
+    first epoch's cache+compile preamble) must not read as a stall — the
+    gap that loop-killed the round-5 saturation launch."""
+    from unet_bssfp_tpu.train import logging as tlog
+    from unet_bssfp_tpu.utils.watchdog import newest_mtime
+
+    logger = tlog.MetricLogger(str(tmp_path / "run"))
+    hb = tmp_path / "run" / "heartbeat"
+    assert not hb.exists()
+    logger.log_step({"train_gen_loss": 1.0})
+    assert hb.exists()  # first step touches immediately
+    first = hb.stat().st_mtime
+    # Within the throttle window: no rewrite.
+    logger.log_step({"train_gen_loss": 1.0})
+    assert hb.stat().st_mtime == first
+    # Past the throttle window: rewritten.
+    logger._heartbeat_last -= tlog.HEARTBEAT_INTERVAL_S
+    os.utime(hb, (first - 100, first - 100))
+    logger.log_step({"train_gen_loss": 1.0})
+    assert hb.stat().st_mtime > first - 100
+    # The watchdog's recursive scan sees it.
+    assert newest_mtime([str(tmp_path / "run")]) >= hb.stat().st_mtime

@@ -13,8 +13,14 @@ from __future__ import annotations
 
 import csv
 import os
+import time
 from collections import defaultdict
 from typing import Dict, Optional
+
+#: Minimum seconds between heartbeat-file touches in ``log_step`` (the
+#: touch itself is microseconds; throttling just keeps it off the syscall
+#: profile of tight CPU-smoke loops).
+HEARTBEAT_INTERVAL_S = 15.0
 
 
 class MetricLogger:
@@ -30,6 +36,8 @@ class MetricLogger:
         self._rows = []
         self._fieldnames = ["epoch"]
         self._csv_path = os.path.join(log_dir, "metrics.csv")
+        self._heartbeat_path = os.path.join(log_dir, "heartbeat")
+        self._heartbeat_last = float("-inf")
         self._wandb = None
         if wandb_project:
             try:
@@ -47,6 +55,17 @@ class MetricLogger:
         # per epoch in end_epoch.
         for k, v in metrics.items():
             self._epoch_acc[k].append(v)
+        # Step-granular liveness for the stall watchdog: metrics.csv is only
+        # rewritten at epoch end, which left long epochs (or the first
+        # epoch's cache+compile) indistinguishable from a wedged device RPC.
+        now = time.monotonic()
+        if now - self._heartbeat_last >= HEARTBEAT_INTERVAL_S:
+            self._heartbeat_last = now
+            try:
+                with open(self._heartbeat_path, "w") as f:
+                    f.write(f"{time.time():.0f}\n")
+            except OSError:
+                pass
 
     def end_epoch(self, epoch: int, extra: Optional[Dict[str, float]] = None
                   ) -> Dict[str, float]:
