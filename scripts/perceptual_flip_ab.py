@@ -49,6 +49,7 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 RECORD_PATH = os.path.join(REPO, "CONVERGENCE.json")
 
 
@@ -102,6 +103,10 @@ def main() -> int:
     ap.add_argument("--smoke", action="store_true")
     ap.add_argument("--no-record", action="store_true")
     args = ap.parse_args()
+
+    from quality_record import device_startup_probe
+
+    device_startup_probe(grace_s=0.0, timeout_s=150.0)
 
     import jax
 

@@ -376,6 +376,46 @@ def resolve_auto_resume(args) -> None:
           f"prior_segments={len(segments) if args.resume else 0}")
 
 
+def device_startup_probe(grace_s: float, timeout_s: float) -> None:
+    """Fail fast when the device tunnel won't admit this client.
+
+    Observed failure mode (round-5 launch log, BENCH_NOTES_r5 §9): after a
+    recent client death the tunneled device server can leave a fresh
+    client's first RPC waiting FOREVER (zero CPU, `wait_woken`), which the
+    stall watchdog only catches after a full stall window. A hung RPC is
+    uninterruptible from inside the process, so the probe arms a hard
+    ``os._exit(75)`` timer: exiting crashes the attempt quickly and lets
+    ``train_watchdog --restart-on-crash`` retry the attach cheaply until
+    the server-side lease clears. ``grace_s`` idles before the first
+    device op — server cleanup of a dead predecessor appears to need quiet
+    time, and an early attach can wedge the queue for everyone.
+    """
+    import threading
+    import time
+
+    if grace_s > 0:
+        print(f"startup: {grace_s:.0f}s grace before first device op",
+              flush=True)
+        time.sleep(grace_s)
+    timer = threading.Timer(timeout_s, lambda: (
+        print(f"startup: device probe exceeded {timeout_s:.0f}s — "
+              "exiting for watchdog retry", flush=True),
+        os._exit(75),
+    ))
+    timer.daemon = True
+    timer.start()
+    import unet_bssfp_tpu  # noqa: F401  (applies UNET_BSSFP_PLATFORM)
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.monotonic()
+    out = float(jax.jit(lambda x: (x * x).sum())(jnp.ones((128, 128))))
+    timer.cancel()
+    print(f"startup: device probe ok ({out:.0f}) on "
+          f"{jax.devices()[0].device_kind} in "
+          f"{time.monotonic() - t0:.1f}s", flush=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--max-epochs", type=int, default=120)
@@ -404,6 +444,14 @@ def main() -> int:
                     help="with --resume: the crashed run's metrics.csv, "
                          "spliced before the new rows in the convergence "
                          "entry")
+    ap.add_argument("--startup-grace", type=float, default=45.0,
+                    help="seconds to idle before the first device op "
+                         "(server-side cleanup of a dead predecessor "
+                         "needs quiet time; see device_startup_probe)")
+    ap.add_argument("--startup-probe-timeout", type=float, default=150.0,
+                    help="hard exit(75) when the first device op hangs "
+                         "longer than this — cheap watchdog-retry instead "
+                         "of a full stall window (0 disables the probe)")
     args = ap.parse_args()
     if args.workdir is None:
         args.workdir = os.path.join(
@@ -415,6 +463,8 @@ def main() -> int:
     quality_dir = os.path.join(REPO, "quality")
     os.makedirs(quality_dir, exist_ok=True)
 
+    if args.startup_probe_timeout > 0:
+        device_startup_probe(args.startup_grace, args.startup_probe_timeout)
     bids = make_fixture(args)
     cfg = build_config(args, bids)
 
