@@ -379,6 +379,13 @@ def resolve_auto_resume(args) -> None:
 def device_startup_probe(grace_s: float, timeout_s: float) -> None:
     """Fail fast when the device tunnel won't admit this client.
 
+    ``UNET_BSSFP_STARTUP_TIMEOUT`` (seconds) overrides ``timeout_s`` at
+    every call site: observed 2026-08-20, a degraded-but-alive tunnel
+    served a trivial ``jit`` compile in 115 s — inside a wide bound but
+    past the 150 s default, so the probe mis-diagnosed a wedge and the
+    watchdog's rapid retries (each an os._exit mid-RPC) made the server
+    sicker. Widen the bound instead of hammering a slow server.
+
     Observed failure mode (round-5 launch log, BENCH_NOTES_r5 §9): after a
     recent client death the tunneled device server can leave a fresh
     client's first RPC waiting FOREVER (zero CPU, `wait_woken`), which the
@@ -393,6 +400,9 @@ def device_startup_probe(grace_s: float, timeout_s: float) -> None:
     import threading
     import time
 
+    env = os.environ.get("UNET_BSSFP_STARTUP_TIMEOUT")
+    if env:
+        timeout_s = float(env)
     if grace_s > 0:
         print(f"startup: {grace_s:.0f}s grace before first device op",
               flush=True)
