@@ -53,6 +53,10 @@ def main() -> int:
 
     import quality_record  # same fixture + data config as the records
 
+    # Fail fast (exit 75) instead of hanging forever when the tunneled
+    # device server won't admit this client (BENCH_NOTES_r5 §9).
+    quality_record.device_startup_probe(grace_s=0.0, timeout_s=150.0)
+
     from unet_bssfp_tpu.data.datamodule import DoveDataModule
     from unet_bssfp_tpu.ops.metrics import mae, psnr, ssim3d
 
